@@ -1,0 +1,202 @@
+"""ctypes bindings for the native host rANS coder (csrc/rans.cpp).
+
+Builds the shared library on first use (g++ -O3). Falls back to the numpy
+implementation in :mod:`flashgmm_tpu.ans.rans_numpy` if compilation fails.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ABI_VERSION = 3
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "rans.cpp"))
+_LIB_PATH = os.path.join(_HERE, "_librans.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error = None
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "-o", _LIB_PATH, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            need_build = True
+            if os.path.exists(_LIB_PATH) and os.path.exists(_SRC):
+                if os.path.getmtime(_LIB_PATH) > os.path.getmtime(_SRC):
+                    lib = ctypes.CDLL(_LIB_PATH)
+                    if lib.fg_abi_version() == _ABI_VERSION:
+                        need_build = False
+                        _lib = lib
+            if need_build:
+                _build()
+                _lib = ctypes.CDLL(_LIB_PATH)
+                assert _lib.fg_abi_version() == _ABI_VERSION
+            _declare(_lib)
+        except Exception as e:  # pragma: no cover - env without g++
+            _build_error = e
+            _lib = None
+        return _lib
+
+
+def _declare(lib):
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+
+    lib.fg_encode_with_indexes.restype = i64
+    lib.fg_encode_with_indexes.argtypes = [
+        i32p, i32p, i64, i32p, i64, i32p, i32p, u8p, i64]
+    lib.fg_decode_with_indexes.restype = i64
+    lib.fg_decode_with_indexes.argtypes = [
+        u8p, i64, i32p, i64, i32p, i64, i32p, i32p, i32p]
+    lib.fg_encode_rows.restype = i64
+    lib.fg_encode_rows.argtypes = [i32p, i64, u16p, i64, i32, u8p, i64]
+    lib.fg_decode_rows.restype = i64
+    lib.fg_decode_rows.argtypes = [u8p, i64, u16p, i64, i64, i32, i32p]
+    lib.fg_encode_gmm_host.restype = i64
+    lib.fg_encode_gmm_host.argtypes = [i32p, i64, f32p, f32p, f32p, i32, i32, u8p, i64]
+    lib.fg_decode_gmm_host.restype = i64
+    lib.fg_decode_gmm_host.argtypes = [u8p, i64, i64, f32p, f32p, f32p, i32, i32, i32, i32p]
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _enc_capacity(n_symbols: int) -> int:
+    # Worst case per symbol: 1 coded slot + ~10 bypass chunks, each possibly
+    # emitting a 4-byte renorm word, + 8 flush bytes.
+    return 48 * max(n_symbols, 1) + 64
+
+
+def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets) -> bytes:
+    lib = _load()
+    symbols = np.ascontiguousarray(symbols, dtype=np.int32).ravel()
+    indexes = np.ascontiguousarray(indexes, dtype=np.int32).ravel()
+    cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
+    cdfs_sizes = np.ascontiguousarray(cdfs_sizes, dtype=np.int32).ravel()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
+    n = symbols.shape[0]
+    out = np.empty(_enc_capacity(n), dtype=np.uint8)
+    nbytes = lib.fg_encode_with_indexes(
+        _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+        n, _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
+        _ptr(cdfs_sizes, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+        _ptr(out, ctypes.c_uint8), out.shape[0])
+    if nbytes < 0:
+        out = np.empty(-nbytes, dtype=np.uint8)
+        nbytes = lib.fg_encode_with_indexes(
+            _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+            n, _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
+            _ptr(cdfs_sizes, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+            _ptr(out, ctypes.c_uint8), out.shape[0])
+    return out[:nbytes].tobytes()
+
+
+def decode_with_indexes(encoded: bytes, indexes, cdfs, cdfs_sizes, offsets):
+    lib = _load()
+    indexes = np.ascontiguousarray(indexes, dtype=np.int32).ravel()
+    cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
+    cdfs_sizes = np.ascontiguousarray(cdfs_sizes, dtype=np.int32).ravel()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
+    data = np.frombuffer(encoded, dtype=np.uint8)
+    out = np.empty(indexes.shape[0], dtype=np.int32)
+    lib.fg_decode_with_indexes(
+        _ptr(data, ctypes.c_uint8), data.shape[0],
+        _ptr(indexes, ctypes.c_int32), indexes.shape[0],
+        _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
+        _ptr(cdfs_sizes, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+        _ptr(out, ctypes.c_int32))
+    return out
+
+
+def encode_rows(values, rows, lo: int) -> bytes:
+    lib = _load()
+    values = np.ascontiguousarray(values, dtype=np.int32).ravel()
+    rows = np.ascontiguousarray(rows, dtype=np.uint16)
+    out = np.empty(_enc_capacity(values.shape[0]), dtype=np.uint8)
+    nbytes = lib.fg_encode_rows(
+        _ptr(values, ctypes.c_int32), values.shape[0],
+        _ptr(rows, ctypes.c_uint16), rows.shape[1], int(lo),
+        _ptr(out, ctypes.c_uint8), out.shape[0])
+    if nbytes < 0:
+        out = np.empty(-nbytes, dtype=np.uint8)
+        nbytes = lib.fg_encode_rows(
+            _ptr(values, ctypes.c_int32), values.shape[0],
+            _ptr(rows, ctypes.c_uint16), rows.shape[1], int(lo),
+            _ptr(out, ctypes.c_uint8), out.shape[0])
+    return out[:nbytes].tobytes()
+
+
+def decode_rows(encoded: bytes, rows, lo: int):
+    lib = _load()
+    rows = np.ascontiguousarray(rows, dtype=np.uint16)
+    data = np.frombuffer(encoded, dtype=np.uint8)
+    out = np.empty(rows.shape[0], dtype=np.int32)
+    lib.fg_decode_rows(
+        _ptr(data, ctypes.c_uint8), data.shape[0],
+        _ptr(rows, ctypes.c_uint16), rows.shape[0], rows.shape[1], int(lo),
+        _ptr(out, ctypes.c_int32))
+    return out
+
+
+def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> bytes:
+    lib = _load()
+    values = np.ascontiguousarray(values, dtype=np.int32).ravel()
+    scales = np.ascontiguousarray(scales, dtype=np.float32)
+    means = np.ascontiguousarray(means, dtype=np.float32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    K = scales.shape[1]
+    out = np.empty(_enc_capacity(values.shape[0]), dtype=np.uint8)
+    nbytes = lib.fg_encode_gmm_host(
+        _ptr(values, ctypes.c_int32), values.shape[0],
+        _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
+        _ptr(weights, ctypes.c_float), K, int(approx_mode),
+        _ptr(out, ctypes.c_uint8), out.shape[0])
+    if nbytes < 0:
+        out = np.empty(-nbytes, dtype=np.uint8)
+        nbytes = lib.fg_encode_gmm_host(
+            _ptr(values, ctypes.c_int32), values.shape[0],
+            _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
+            _ptr(weights, ctypes.c_float), K, int(approx_mode),
+            _ptr(out, ctypes.c_uint8), out.shape[0])
+    return out[:nbytes].tobytes()
+
+
+def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,
+                    approx_mode: int = 0):
+    lib = _load()
+    scales = np.ascontiguousarray(scales, dtype=np.float32)
+    means = np.ascontiguousarray(means, dtype=np.float32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    data = np.frombuffer(encoded, dtype=np.uint8)
+    out = np.empty(scales.shape[0], dtype=np.int32)
+    lib.fg_decode_gmm_host(
+        _ptr(data, ctypes.c_uint8), data.shape[0], scales.shape[0],
+        _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
+        _ptr(weights, ctypes.c_float), scales.shape[1], int(max_bs_value),
+        int(approx_mode), _ptr(out, ctypes.c_int32))
+    return out

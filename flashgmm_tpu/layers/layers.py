@@ -1,0 +1,424 @@
+"""NN building blocks (NHWC, flax.nnx).
+
+Re-designs of compressai/layers/layers.py for TPU: explicit torch-compatible
+padding (so converted checkpoints are numerically identical), pixel-shuffle
+upsampling via reshapes, masked convolutions with static masks baked at
+construction time.
+"""
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .gdn import GDN
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class LeakyReLU(nnx.Module):
+    def __init__(self, negative_slope: float = 0.01):
+        self.negative_slope = negative_slope
+
+    def __call__(self, x):
+        return leaky_relu(x, self.negative_slope)
+
+
+class ReLU(nnx.Module):
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+class Sequential(nnx.Module):
+    """Ordered container of callables (modules or plain functions)."""
+
+    def __init__(self, *layers):
+        self.layers = nnx.List(list(layers))
+
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+    def __iter__(self):
+        return iter(self.layers)
+
+    def __getitem__(self, i):
+        return self.layers[i]
+
+
+def _torch_conv_init(key, shape, dtype, groups: int = 1):
+    """Kaiming-uniform(a=sqrt(5)) over HWIO kernels, matching torch Conv2d."""
+    kh, kw, in_ch, _ = shape
+    fan_in = kh * kw * in_ch * groups
+    bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2d(nnx.Module):
+    """2D convolution over NHWC with torch-style explicit symmetric padding.
+
+    Note: XLA's 'SAME' padding differs from torch's explicit ``padding=k//2``
+    for even inputs with stride 2 (different window placement), so we always
+    use explicit padding to keep converted checkpoints bit-compatible.
+    """
+
+    def __init__(
+        self,
+        in_ch: int,
+        out_ch: int,
+        kernel_size,
+        stride=1,
+        padding=0,
+        use_bias: bool = True,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        kh, kw = _pair(kernel_size)
+        self.stride = _pair(stride)
+        ph, pw = _pair(padding)
+        self.padding = ((ph, ph), (pw, pw))
+        self.in_ch = in_ch
+        self.out_ch = out_ch
+
+        kkey = rngs.params()
+        self.kernel = nnx.Param(
+            _torch_conv_init(kkey, (kh, kw, in_ch, out_ch), jnp.float32)
+        )
+        if use_bias:
+            fan_in = kh * kw * in_ch
+            bound = 1.0 / math.sqrt(fan_in)
+            self.bias = nnx.Param(
+                jax.random.uniform(rngs.params(), (out_ch,), jnp.float32, -bound, bound)
+            )
+        else:
+            self.bias = None
+
+    def _weight(self):
+        return self.kernel.value
+
+    def __call__(self, x):
+        y = jax.lax.conv_general_dilated(
+            x,
+            self._weight(),
+            window_strides=self.stride,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
+class ConvTranspose2d(nnx.Module):
+    """Transposed conv matching torch ConvTranspose2d semantics.
+
+    Implemented as an input-dilated convolution with the spatially-flipped
+    kernel: pad each side by ``k - 1 - p`` (+ ``output_padding`` on the
+    bottom/right), dilate the input by ``stride``.
+    """
+
+    def __init__(
+        self,
+        in_ch: int,
+        out_ch: int,
+        kernel_size,
+        stride=1,
+        padding=0,
+        output_padding=0,
+        use_bias: bool = True,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        kh, kw = _pair(kernel_size)
+        self.stride = _pair(stride)
+        ph, pw = _pair(padding)
+        oph, opw = _pair(output_padding)
+        self.padding = (
+            (kh - 1 - ph, kh - 1 - ph + oph),
+            (kw - 1 - pw, kw - 1 - pw + opw),
+        )
+        self.in_ch = in_ch
+        self.out_ch = out_ch
+
+        # Stored HWIO ("input" = in_ch) like torch's [in, out, kh, kw]; the
+        # kernel is flipped at call time.
+        kkey = rngs.params()
+        fan_in = kh * kw * out_ch  # torch uses the [out] dim for fan-in here
+        bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+        self.kernel = nnx.Param(
+            jax.random.uniform(kkey, (kh, kw, in_ch, out_ch), jnp.float32, -bound, bound)
+        )
+        if use_bias:
+            bbound = 1.0 / math.sqrt(fan_in)
+            self.bias = nnx.Param(
+                jax.random.uniform(
+                    rngs.params(), (out_ch,), jnp.float32, -bbound, bbound
+                )
+            )
+        else:
+            self.bias = None
+
+    def __call__(self, x):
+        kernel = jnp.flip(self.kernel.value, axis=(0, 1))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=self.padding,
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
+def conv(in_ch, out_ch, kernel_size=5, stride=2, *, rngs):
+    """CompressAI's default strided conv (models/utils.py conv)."""
+    return Conv2d(
+        in_ch, out_ch, kernel_size, stride=stride, padding=kernel_size // 2, rngs=rngs
+    )
+
+
+def deconv(in_ch, out_ch, kernel_size=5, stride=2, *, rngs):
+    """CompressAI's default up-sampling deconv (models/utils.py deconv)."""
+    return ConvTranspose2d(
+        in_ch,
+        out_ch,
+        kernel_size,
+        stride=stride,
+        padding=kernel_size // 2,
+        output_padding=stride - 1,
+        rngs=rngs,
+    )
+
+
+def conv3x3(in_ch, out_ch, stride=1, *, rngs):
+    return Conv2d(in_ch, out_ch, 3, stride=stride, padding=1, rngs=rngs)
+
+
+def conv1x1(in_ch, out_ch, stride=1, *, rngs):
+    return Conv2d(in_ch, out_ch, 1, stride=stride, padding=0, rngs=rngs)
+
+
+def pixel_shuffle(x, r: int):
+    """NHWC pixel shuffle: [N,H,W,C*r*r] -> [N,H*r,W*r,C].
+
+    Channel ordering matches torch.nn.PixelShuffle (c, i, j fastest-last)
+    so converted checkpoints reproduce the reference exactly.
+    """
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, i, w, j, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+class PixelShuffle(nnx.Module):
+    def __init__(self, r: int):
+        self.r = r
+
+    def __call__(self, x):
+        return pixel_shuffle(x, self.r)
+
+
+def subpel_conv3x3(in_ch, out_ch, r=1, *, rngs):
+    """3x3 sub-pixel convolution for up-sampling (layers.py:178-182)."""
+    return Sequential(
+        Conv2d(in_ch, out_ch * r * r, 3, padding=1, rngs=rngs), PixelShuffle(r)
+    )
+
+
+class MaskedConv2d(Conv2d):
+    """Masked conv for autoregressive context models (layers.py:118-144).
+
+    The mask is static and baked into the forward as ``mask * weight``; type
+    'A' masks the current pixel, 'B' keeps it.
+    """
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 mask_type: str = "A", *, rngs):
+        super().__init__(in_ch, out_ch, kernel_size, stride, padding, rngs=rngs)
+        if mask_type not in ("A", "B"):
+            raise ValueError(f'Invalid "mask_type" value "{mask_type}"')
+        kh, kw, _, _ = self.kernel.value.shape
+        mask = jnp.ones((kh, kw, 1, 1), jnp.float32)
+        mask = mask.at[kh // 2, kw // 2 + (mask_type == "B") :].set(0)
+        mask = mask.at[kh // 2 + 1 :].set(0)
+        self.mask = nnx.Variable(mask)
+
+    def _weight(self):
+        return self.kernel.value * self.mask.value
+
+
+class CheckerboardMaskedConv2d(MaskedConv2d):
+    """Checkerboard-masked conv (He2021; layers.py:147-170): sees only
+    anchor positions (and optionally the center for type 'B')."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 mask_type: str = "A", *, rngs):
+        super().__init__(
+            in_ch, out_ch, kernel_size, stride, padding, mask_type=mask_type, rngs=rngs
+        )
+        kh, kw, _, _ = self.kernel.value.shape
+        mask = jnp.ones((kh, kw, 1, 1), jnp.float32)
+        mask = mask.at[0::2, 0::2].set(0)
+        mask = mask.at[1::2, 1::2].set(0)
+        mask = mask.at[kh // 2, kw // 2].set(1.0 if mask_type == "B" else 0.0)
+        self.mask = nnx.Variable(mask)
+
+
+class ResidualBlockWithStride(nnx.Module):
+    """conv3x3(s) -> lrelu -> conv3x3 -> GDN + skip (layers.py:190-221)."""
+
+    def __init__(self, in_ch, out_ch, stride=2, *, rngs):
+        self.conv1 = conv3x3(in_ch, out_ch, stride=stride, rngs=rngs)
+        self.conv2 = conv3x3(out_ch, out_ch, rngs=rngs)
+        self.gdn = GDN(out_ch, rngs=rngs)
+        if stride != 1 or in_ch != out_ch:
+            self.skip = conv1x1(in_ch, out_ch, stride=stride, rngs=rngs)
+        else:
+            self.skip = None
+
+    def __call__(self, x):
+        identity = x if self.skip is None else self.skip(x)
+        out = self.conv1(x)
+        out = leaky_relu(out)
+        out = self.conv2(out)
+        out = self.gdn(out)
+        return out + identity
+
+
+class ResidualBlockUpsample(nnx.Module):
+    """subpel conv -> lrelu -> conv3x3 -> IGDN + subpel skip (layers.py:224-249)."""
+
+    def __init__(self, in_ch, out_ch, upsample=2, *, rngs):
+        self.subpel_conv = subpel_conv3x3(in_ch, out_ch, upsample, rngs=rngs)
+        self.conv = conv3x3(out_ch, out_ch, rngs=rngs)
+        self.igdn = GDN(out_ch, inverse=True, rngs=rngs)
+        self.upsample = subpel_conv3x3(in_ch, out_ch, upsample, rngs=rngs)
+
+    def __call__(self, x):
+        identity = self.upsample(x)
+        out = self.subpel_conv(x)
+        out = leaky_relu(out)
+        out = self.conv(out)
+        out = self.igdn(out)
+        return out + identity
+
+
+class ResidualBlock(nnx.Module):
+    """Two 3x3 convs with leaky relu (layers.py:252-282)."""
+
+    def __init__(self, in_ch, out_ch, *, rngs):
+        self.conv1 = conv3x3(in_ch, out_ch, rngs=rngs)
+        self.conv2 = conv3x3(out_ch, out_ch, rngs=rngs)
+        if in_ch != out_ch:
+            self.skip = conv1x1(in_ch, out_ch, rngs=rngs)
+        else:
+            self.skip = None
+
+    def __call__(self, x):
+        identity = x if self.skip is None else self.skip(x)
+        out = self.conv1(x)
+        out = leaky_relu(out)
+        out = self.conv2(out)
+        out = leaky_relu(out)
+        return out + identity
+
+
+class ResidualBottleneckBlock(nnx.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck used by ELIC
+    (models/sensetime.py Elic2022 / models/elic_gmm.py:238-274)."""
+
+    def __init__(self, in_ch, out_ch, *, rngs):
+        mid_ch = min(in_ch, out_ch) // 2
+        self.conv1 = conv1x1(in_ch, mid_ch, rngs=rngs)
+        self.conv2 = conv3x3(mid_ch, mid_ch, rngs=rngs)
+        self.conv3 = conv1x1(mid_ch, out_ch, rngs=rngs)
+        if in_ch != out_ch:
+            self.skip = conv1x1(in_ch, out_ch, rngs=rngs)
+        else:
+            self.skip = None
+
+    def __call__(self, x):
+        identity = x if self.skip is None else self.skip(x)
+        out = self.conv1(x)
+        out = jax.nn.relu(out)
+        out = self.conv2(out)
+        out = jax.nn.relu(out)
+        out = self.conv3(out)
+        return out + identity
+
+
+class _ResidualUnit(nnx.Module):
+    def __init__(self, N, *, rngs):
+        self.conv = Sequential(
+            conv1x1(N, N // 2, rngs=rngs),
+            ReLU(),
+            conv3x3(N // 2, N // 2, rngs=rngs),
+            ReLU(),
+            conv1x1(N // 2, N, rngs=rngs),
+        )
+
+    def __call__(self, x):
+        return jax.nn.relu(self.conv(x) + x)
+
+
+class AttentionBlock(nnx.Module):
+    """Cheng2020 simplified attention block (layers.py:285-336)."""
+
+    def __init__(self, N, *, rngs):
+        self.conv_a = Sequential(
+            _ResidualUnit(N, rngs=rngs),
+            _ResidualUnit(N, rngs=rngs),
+            _ResidualUnit(N, rngs=rngs),
+        )
+        self.conv_b = Sequential(
+            _ResidualUnit(N, rngs=rngs),
+            _ResidualUnit(N, rngs=rngs),
+            _ResidualUnit(N, rngs=rngs),
+            conv1x1(N, N, rngs=rngs),
+        )
+
+    def __call__(self, x):
+        a = self.conv_a(x)
+        b = self.conv_b(x)
+        return x + a * jax.nn.sigmoid(b)
+
+
+def sequential_channel_ramp(
+    in_ch: int,
+    out_ch: int,
+    *,
+    min_ch: int = 0,
+    num_layers: int = 3,
+    make_layer: Callable = None,
+    make_act: Callable = None,
+    skip_last_act: bool = True,
+    rngs: nnx.Rngs,
+    **layer_kwargs,
+):
+    """Interleave layers of linearly ramping channel counts with activations
+    (layers.py:391-417)."""
+    channels = [
+        int(math.floor(in_ch + (out_ch - in_ch) * i / num_layers))
+        for i in range(num_layers + 1)
+    ]
+    channels[1:-1] = [max(c, min_ch) for c in channels[1:-1]]
+    layers = []
+    for ch_in, ch_out in zip(channels[:-1], channels[1:]):
+        layers.append(make_layer(ch_in, ch_out, rngs=rngs, **layer_kwargs))
+        layers.append(make_act())
+    if skip_last_act:
+        layers = layers[:-1]
+    return Sequential(*layers)

@@ -1,0 +1,3 @@
+from .rate_distortion import RateDistortionLoss, rate_distortion_loss
+
+__all__ = ["RateDistortionLoss", "rate_distortion_loss"]

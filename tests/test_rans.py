@@ -1,0 +1,180 @@
+"""rANS coder tests: numpy vs C++ cross-checks, round-trips, and bypass
+edge cases."""
+
+import numpy as np
+import pytest
+
+from flashgmm_tpu import ans
+from flashgmm_tpu.ans import cext, rans_numpy
+from flashgmm_tpu.ans.pmf_to_cdf import pmf_to_quantized_cdf
+
+rng = np.random.default_rng(42)
+
+
+def _random_cdf_setup(num_cdfs=4, max_len=18):
+    cdfs = np.zeros((num_cdfs, max_len), np.int32)
+    sizes = np.zeros(num_cdfs, np.int32)
+    offsets = np.zeros(num_cdfs, np.int32)
+    for i in range(num_cdfs):
+        length = rng.integers(4, max_len - 1)
+        pmf = rng.random(length - 1).astype(np.float32) + 0.01
+        pmf /= pmf.sum() * 1.0001  # leave tail mass
+        cdf = pmf_to_quantized_cdf(
+            np.concatenate([pmf, [1 - pmf.sum()]]), 16
+        )
+        cdfs[i, : cdf.shape[0]] = cdf
+        sizes[i] = cdf.shape[0]
+        offsets[i] = rng.integers(-10, 0)
+    return cdfs, sizes, offsets
+
+
+class TestPmfToQuantizedCdf:
+    def test_basic_properties(self):
+        pmf = np.array([0.1, 0.2, 0.3, 0.4], np.float32)
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert cdf[0] == 0
+        assert cdf[-1] == 65536
+        assert np.all(np.diff(cdf) > 0)
+
+    def test_zero_bins_are_stolen(self):
+        pmf = np.array([0.5, 0.0, 0.5], np.float32)
+        cdf = pmf_to_quantized_cdf(pmf, 16)
+        assert np.all(np.diff(cdf) > 0)
+
+    def test_invalid_pmf_raises(self):
+        with pytest.raises(ValueError):
+            pmf_to_quantized_cdf(np.array([0.5, -0.1]), 16)
+        with pytest.raises(ValueError):
+            pmf_to_quantized_cdf(np.array([np.nan]), 16)
+
+
+class TestTablePath:
+    def _roundtrip(self, encode, decode, n=2000):
+        cdfs, sizes, offsets = _random_cdf_setup()
+        indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int32)
+        # symbols mostly in range, some out of range to exercise bypass
+        symbols = np.array(
+            [
+                offsets[i] + rng.integers(-3, sizes[i] + 4)
+                for i in indexes
+            ],
+            np.int32,
+        )
+        encoded = encode(symbols, indexes, cdfs, sizes, offsets)
+        decoded = decode(encoded, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(decoded, symbols)
+        return encoded
+
+    def test_numpy_roundtrip(self):
+        self._roundtrip(rans_numpy.encode_with_indexes, rans_numpy.decode_with_indexes)
+
+    @pytest.mark.skipif(not cext.available(), reason="C extension unavailable")
+    def test_cext_roundtrip(self):
+        self._roundtrip(cext.encode_with_indexes, cext.decode_with_indexes)
+
+    @pytest.mark.skipif(not cext.available(), reason="C extension unavailable")
+    def test_numpy_cext_bitstreams_identical(self):
+        cdfs, sizes, offsets = _random_cdf_setup()
+        n = 512
+        indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int32)
+        symbols = np.array(
+            [offsets[i] + rng.integers(-3, sizes[i] + 4) for i in indexes],
+            np.int32,
+        )
+        a = rans_numpy.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+        b = cext.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+        assert a == b
+        # cross-decoding
+        np.testing.assert_array_equal(
+            rans_numpy.decode_with_indexes(b, indexes, cdfs, sizes, offsets), symbols
+        )
+        np.testing.assert_array_equal(
+            cext.decode_with_indexes(a, indexes, cdfs, sizes, offsets), symbols
+        )
+
+
+def _make_rows(n, max_bs, scales=None):
+    """Quantized Gaussian boundary rows computed in numpy float64->float32."""
+    lo = -max_bs
+    L = 2 * max_bs + 2
+    if scales is None:
+        scales = rng.uniform(0.2, 8.0, n).astype(np.float32)
+    x = (np.arange(L, dtype=np.float32) + (lo - 0.5))[None, :]
+    cdf = 0.5 * (
+        1.0
+        + np.sign(x)
+        * np.sqrt(1.0 - np.exp(-2.0 * x * x / np.pi / scales[:, None] ** 2))
+    )
+    rows = (cdf * 65535.0).astype(np.uint16)
+    rows = np.maximum.accumulate(rows, axis=1)  # ensure monotone
+    return rows, lo
+
+
+class TestRowsPath:
+    @pytest.mark.parametrize("backend", ["numpy", "cext"])
+    def test_roundtrip(self, backend):
+        if backend == "cext" and not cext.available():
+            pytest.skip("C extension unavailable")
+        mod = rans_numpy if backend == "numpy" else cext
+        n, max_bs = 3000, 16
+        rows, lo = _make_rows(n, max_bs)
+        values = np.clip(
+            np.round(rng.normal(0, 3, n)), lo + 1, max_bs
+        ).astype(np.int32)
+        encoded = mod.encode_rows(values, rows, lo)
+        decoded = mod.decode_rows(encoded, rows, lo)
+        np.testing.assert_array_equal(decoded, values)
+
+    @pytest.mark.skipif(not cext.available(), reason="C extension unavailable")
+    def test_numpy_cext_bitstreams_identical(self):
+        n, max_bs = 700, 12
+        rows, lo = _make_rows(n, max_bs)
+        values = np.clip(np.round(rng.normal(0, 2, n)), lo + 1, max_bs).astype(np.int32)
+        a = rans_numpy.encode_rows(values, rows, lo)
+        b = cext.encode_rows(values, rows, lo)
+        assert a == b
+        np.testing.assert_array_equal(rans_numpy.decode_rows(b, rows, lo), values)
+
+    @pytest.mark.parametrize("backend", ["numpy", "cext"])
+    def test_bypass_zero_pmf(self, backend):
+        """Symbols landing in zero-width bins must escape to bypass."""
+        if backend == "cext" and not cext.available():
+            pytest.skip("C extension unavailable")
+        mod = rans_numpy if backend == "numpy" else cext
+        n, max_bs = 64, 8
+        # very narrow distributions -> most bins have pmf 0
+        rows, lo = _make_rows(n, max_bs, scales=np.full(n, 0.05, np.float32))
+        values = np.clip(rng.integers(-7, 8, n), lo + 1, max_bs).astype(np.int32)
+        encoded = mod.encode_rows(values, rows, lo)
+        decoded = mod.decode_rows(encoded, rows, lo)
+        np.testing.assert_array_equal(decoded, values)
+
+    @pytest.mark.parametrize("backend", ["numpy", "cext"])
+    def test_negative_bypass_values(self, backend):
+        if backend == "cext" and not cext.available():
+            pytest.skip("C extension unavailable")
+        mod = rans_numpy if backend == "numpy" else cext
+        n, max_bs = 16, 4
+        rows, lo = _make_rows(n, max_bs, scales=np.full(n, 0.01, np.float32))
+        values = np.array([-3, -2, -1, 0, 1, 2, 3, -4] * 2, np.int32)
+        encoded = mod.encode_rows(values, rows, lo)
+        decoded = mod.decode_rows(encoded, rows, lo)
+        np.testing.assert_array_equal(decoded, values)
+
+
+@pytest.mark.skipif(not cext.available(), reason="C extension unavailable")
+class TestHostGmmPath:
+    def test_roundtrip(self):
+        n, K = 500, 4
+        scales = rng.uniform(0.11, 5.0, (n, K)).astype(np.float32)
+        means = rng.normal(0, 2, (n, K)).astype(np.float32)
+        w = rng.random((n, K)).astype(np.float32)
+        weights = w / w.sum(1, keepdims=True)
+        values = np.round(rng.normal(0, 3, n)).astype(np.int32)
+        max_bs = int(np.abs(values).max()) + 1
+
+        enc = ans.RansEncoder()
+        dec = ans.RansDecoder()
+        s = enc.encode_gmm_host(values, scales, means, weights)
+        out = dec.decode_gmm_host(s, scales, means, weights, max_bs)
+        np.testing.assert_array_equal(out, values)
