@@ -293,7 +293,7 @@ class EntropyBottleneck(EntropyModel):
 
     def _update_quantiles(self, search_radius=1e5, rtol=1e-4, atol=1e-3):
         """Bisection search for the target quantiles (entropy_models.py:572-603)."""
-        quantiles = np.asarray(jax.device_get(self.quantiles.value))
+        quantiles = np.array(jax.device_get(self.quantiles.value))
         shape = (self.channels, 1, 1)
         target = np.asarray(jax.device_get(self.target.value))
 
@@ -488,6 +488,58 @@ class GaussianConditional(EntropyModel):
             scales[..., None] <= table[:-1], axis=-1
         ).astype(jnp.int32)
         return indexes
+
+    # -- table-free search-based coding (FlashGMM GSM path) ------------------
+    # rans_interface.cpp:401-456 (encode) / :690-764 (search decode), done
+    # the TPU way: boundary rows computed on device, serial chain on host.
+
+    _N_BUCKET = 4096
+    _BINS_BUCKET = 8
+
+    def _gaussian_rows(self, scales_flat: np.ndarray, max_bs: int):
+        from flashgmm_tpu.ans.gaussian_cdf import gaussian_boundary_rows
+
+        n = scales_flat.shape[0]
+        n_pad = -(-max(n, 1) // self._N_BUCKET) * self._N_BUCKET
+        padded = np.ones((n_pad,), np.float32)
+        padded[:n] = scales_flat
+        rows = gaussian_boundary_rows(
+            jnp.asarray(padded),
+            jnp.int32(-max_bs),
+            num_bins=2 * max_bs + 1,
+            mode=get_approx_mode(),
+        )
+        return np.asarray(jax.device_get(rows))[:n]
+
+    def compress_search(self, inputs, scales, means=None):
+        """Table-free encode; returns (strings, abs_max)."""
+        symbols = self.quantize(inputs, "symbols", means)
+        symbols_np = _nchw_flatten(np.asarray(jax.device_get(symbols)))
+        scales_np = _nchw_flatten(
+            np.asarray(jax.device_get(self.lower_bound_scale(scales)), np.float32)
+        )
+        abs_max = max(int(np.abs(symbols_np).max()), 1) + 1
+        max_bs = -(-abs_max // self._BINS_BUCKET) * self._BINS_BUCKET
+        strings = []
+        for i in range(symbols_np.shape[0]):
+            rows = self._gaussian_rows(scales_np[i], max_bs)
+            strings.append(
+                self.entropy_coder._encoder.encode_rows(symbols_np[i], rows, -max_bs)
+            )
+        return strings, abs_max
+
+    def decompress_search(self, strings, scales, abs_max: int, means=None):
+        scales_host = np.asarray(
+            jax.device_get(self.lower_bound_scale(scales)), np.float32
+        )
+        scales_np = _nchw_flatten(scales_host)
+        max_bs = -(-int(abs_max) // self._BINS_BUCKET) * self._BINS_BUCKET
+        outputs = np.empty_like(scales_np, dtype=np.int32)
+        for i, s in enumerate(strings):
+            rows = self._gaussian_rows(scales_np[i], max_bs)
+            outputs[i] = self.entropy_coder._decoder.decode_rows(s, rows, -max_bs)
+        outputs = _nchw_unflatten(outputs, scales_host.shape)
+        return self.dequantize(jnp.asarray(outputs), means)
 
 
 class GaussianMixtureConditional(GaussianConditional):

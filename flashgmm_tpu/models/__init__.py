@@ -1,0 +1,21 @@
+from .base import (
+    CompressionModel,
+    SimpleVAECompressionModel,
+    get_scale_table,
+)
+from .google import (
+    FactorizedPrior,
+    FactorizedPriorReLU,
+    MeanScaleHyperprior,
+    ScaleHyperprior,
+)
+
+__all__ = [
+    "CompressionModel",
+    "SimpleVAECompressionModel",
+    "get_scale_table",
+    "FactorizedPrior",
+    "FactorizedPriorReLU",
+    "ScaleHyperprior",
+    "MeanScaleHyperprior",
+]
