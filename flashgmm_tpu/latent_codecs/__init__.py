@@ -1,13 +1,17 @@
 from .base import LatentCodec
+from .checkerboard import CheckerboardLatentCodec
 from .entropy_bottleneck import EntropyBottleneckLatentCodec
 from .gaussian_conditional import GaussianConditionalLatentCodec
+from .gaussian_mixture_conditional import GaussianMixtureConditionalLatentCodec
 from .hyper import HyperLatentCodec
 from .hyperprior import HyperpriorLatentCodec
 
 __all__ = [
     "LatentCodec",
+    "CheckerboardLatentCodec",
     "EntropyBottleneckLatentCodec",
     "GaussianConditionalLatentCodec",
+    "GaussianMixtureConditionalLatentCodec",
     "HyperLatentCodec",
     "HyperpriorLatentCodec",
 ]

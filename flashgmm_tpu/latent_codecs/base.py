@@ -30,7 +30,7 @@ class LatentCodec(nnx.Module):
         for key, factory in defaults.items():
             if key not in group_dict:
                 group_dict[key] = factory()
-        setattr(self, group_key, group_dict)
+        setattr(self, group_key, nnx.Dict(group_dict))
 
     def __getitem__(self, key: str) -> "LatentCodec":
         return self.latent_codec[key]

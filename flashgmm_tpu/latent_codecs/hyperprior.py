@@ -3,6 +3,8 @@
 
 from typing import Mapping, Optional
 
+from flax import nnx
+
 from flashgmm_tpu.registry import register_module
 
 from .base import LatentCodec
@@ -13,7 +15,7 @@ class HyperpriorLatentCodec(LatentCodec):
     def __init__(self, latent_codec: Optional[Mapping[str, LatentCodec]] = None,
                  **kwargs):
         assert latent_codec is not None and "y" in latent_codec and "hyper" in latent_codec
-        self.latent_codec = dict(latent_codec)
+        self.latent_codec = nnx.Dict(latent_codec)
 
     def __call__(self, y, training: bool = True, key=None):
         import jax
