@@ -37,6 +37,11 @@ def _nchw_unflatten(x: np.ndarray, shape_bhwc) -> np.ndarray:
     return np.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
 
 
+class QuantilesParam(nnx.Param):
+    """EntropyBottleneck quantiles — trained by the "aux" optimizer only
+    (cf. net/aux split, optimizers/net_aux.py:39-80 in the reference)."""
+
+
 class _EntropyCoder:
     """Proxy to the rANS backend (entropy_models.py:48-82)."""
 
@@ -232,7 +237,9 @@ class EntropyBottleneck(EntropyModel):
                 setattr(self, f"factor{i}", nnx.Param(factor))
 
         init_q = jnp.array([-self.init_scale, 0.0, self.init_scale], jnp.float32)
-        self.quantiles = nnx.Param(jnp.tile(init_q[None, None, :], (channels, 1, 1)))
+        self.quantiles = QuantilesParam(
+            jnp.tile(init_q[None, None, :], (channels, 1, 1))
+        )
 
         target = float(np.log(2 / self.tail_mass - 1))
         self.target = nnx.Variable(jnp.array([-target, 0.0, target], jnp.float32))
