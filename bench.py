@@ -68,11 +68,23 @@ def main():
 
 
 def _make_pipeline(model):
+    """On-device fast codec: one jit for encode, one for decode; only
+    bitstream words cross the host boundary."""
+    from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
+
+    codec = FastCheckerboardGmmCodec(model, lanes=128)
+    y_shape_holder = {}
+
     def encode(x):
-        return model.compress(x)
+        out = codec.encode(x)
+        y_shape_holder["y"] = tuple(out["y_hat"].shape[1:])
+        # serialize: fetch streams to host (the real product of encoding)
+        data = codec.to_bytes(out)
+        return {"data": data, "strings": [data]}
 
     def decode(out):
-        return model.decompress(out["strings"], out["shape"])
+        streams = codec.from_bytes(out["data"], y_shape_holder["y"])
+        return {"x_hat": codec.decode(streams, y_shape_holder["y"])}
 
     return encode, decode
 

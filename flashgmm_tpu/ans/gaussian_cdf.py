@@ -91,6 +91,73 @@ def gmm_boundary_rows(scales, means, weights, lo, num_bins: int, mode: int = 0):
     return q
 
 
+def _mixture_cdf(x, scales, means, weights, mode: int):
+    """Sum_k w_k Phi((x - mu_k)/sigma_k) with a FIXED sequential K-add chain.
+
+    The interleaved fast path quantizes this float in two separately-compiled
+    programs (encoder bounds vs decoder rows); an explicit unrolled
+    accumulation keeps the op graphs identical so XLA produces bit-equal
+    results on both sides.
+    """
+    cdf_fn = _CDF_FNS[mode]
+    k_total = scales.shape[-1]
+    acc = None
+    for k in range(k_total):
+        term = weights[..., k:k + 1] * cdf_fn(
+            (x - means[..., k:k + 1]) / scales[..., k:k + 1]
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "mode"))
+def gmm_guarded_rows(scales, means, weights, lo, num_bins: int, mode: int = 0):
+    """Strictly-monotone int32 boundary rows for the interleaved coder.
+
+    ``rows[i, j] = floor(cdf_i(lo + j - 0.5) * (2^16 - (num_bins+1))) + j``
+    with the last boundary forced to 2^16: every bin has pmf >= 1, so no
+    bypass escape is ever needed (rate cost ~(num_bins+1)/2^16).
+
+    Args: scales/means/weights float32 [N, K]; returns int32 [N, num_bins+1].
+    """
+    L = num_bins + 1
+    j = jnp.arange(L, dtype=jnp.float32)
+    x = (lo.astype(jnp.float32) - 0.5) + j  # [L]
+    # x broadcast over symbols: [N, L, 1] against [N, 1, K] params
+    cdf = _mixture_cdf(
+        jnp.broadcast_to(x[None, :, None], (scales.shape[0], L, 1)),
+        scales[:, None, :],
+        means[:, None, :],
+        weights[:, None, :],
+        mode,
+    )[..., 0]
+    raw = jnp.floor(jnp.clip(cdf, 0.0, 1.0) * (65536 - L)).astype(jnp.int32)
+    rows = raw + jnp.arange(L, dtype=jnp.int32)[None, :]
+    rows = rows.at[:, -1].set(65536)
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "mode"))
+def gmm_guarded_bounds(values, scales, means, weights, lo, num_bins: int,
+                       mode: int = 0):
+    """(start, freq) uint32 [N] for the encoder — the two boundary CDFs of
+    each symbol's bin, quantized exactly as :func:`gmm_guarded_rows`."""
+    L = num_bins + 1
+    vf = values.astype(jnp.float32)
+    j = (values - lo).astype(jnp.int32)
+
+    def q(x_scalar):
+        cdf = _mixture_cdf(x_scalar[:, None], scales, means, weights, mode)[..., 0]
+        return jnp.floor(jnp.clip(cdf, 0.0, 1.0) * (65536 - L)).astype(jnp.int32)
+
+    raw1 = q(vf - 0.5)
+    raw2 = q(vf + 0.5)
+    start = raw1 + j
+    nxt = jnp.where(j + 1 == L - 1, 65536, raw2 + j + 1)
+    freq = nxt - start
+    return start.astype(jnp.uint32), freq.astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_bins", "mode"))
 def gaussian_boundary_rows(scales, lo, num_bins: int, mode: int = 0):
     """Single-Gaussian (zero-mean) boundary rows: the GSM search-based path

@@ -1,0 +1,220 @@
+"""Fully on-device interleaved rANS codec (the TPU-native fast path).
+
+The reference's coder (rans_interface.cpp) is a single serial 64-bit rANS
+chain on the CPU — fundamentally unmappable to TPU, and on this setup every
+device<->host round trip costs ~30 ms of tunnel latency. This module removes
+the host from the loop entirely: W independent 32-bit rANS lanes advance in
+lockstep as vector ops inside one XLA computation, so both encoding and
+decoding run on-chip and only final bitstream bytes cross the host boundary.
+
+Design (cf. PAPERS.md: Giesen interleaved entropy coders; Recoil):
+
+* Symbols are round-robined over W lanes: symbol i -> (step t = i // W,
+  lane = i % W). Each lane runs its own 32-bit rANS chain (state in
+  [2^16, 2^32), 16-bit probabilities, 16-bit word renormalization), so a
+  step is W-wide pure vector math — no cross-lane dependencies.
+* With state bound L = 2^16 equal to the emission base b = 2^16, each
+  encode/decode step emits/consumes AT MOST ONE u16 word per lane, and the
+  encoder's emission mask at (reverse) step t equals the decoder's
+  consumption mask at (forward) step t. Words are therefore laid out in
+  decoder consumption order — (t, lane)-sorted — via a vectorized stream
+  compaction; the decoder re-expands each step's chunk with a cumsum +
+  one-hot matmul (MXU), no serial host logic anywhere.
+* **No bypass/escape coding.** Quantized CDF rows are "guarded" to be
+  strictly monotone (every bin gets pmf >= 1 by blending in 1/65536-per-bin
+  of uniform mass — rate cost ~L/2^16 ≈ 0.1%), so every in-range symbol is
+  codable and the decoder's bin search always lands exactly.
+* TPU has no 64-bit vector integer ops and no fast u32 division, so the
+  encoder's ``state // freq`` uses an exact base-2^8 long division built
+  from float-estimated small divisions with integer correction.
+
+Stream format (self-contained per tensor, assembled by the caller):
+  per pass: W u32 lane states (decoder init) + n_words u16 words.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+RANS_L = jnp.uint32(1 << 16)
+M_TOTAL = 1 << 16  # probability denominator
+MASK16 = jnp.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------------------
+# exact u32 // u16 division out of float32 estimates
+# ---------------------------------------------------------------------------
+
+
+def _divmod_small(a, f):
+    """Exact (a // f, a % f) for a < 2^24, 1 <= f < 2^16 (uint32)."""
+    q = jnp.floor(
+        a.astype(jnp.float32) * (1.0 / f.astype(jnp.float32))
+    ).astype(jnp.uint32)
+    # float rounding can be off by ±1 (twice for safety)
+    for _ in range(2):
+        q = jnp.where(q * f > a, q - 1, q)
+        q = jnp.where((q + 1) * f <= a, q + 1, q)
+    return q, a - q * f
+
+
+def divmod_u32_u16(a, f):
+    """Exact (a // f, a % f) for any u32 a and 1 <= f < 2^16."""
+    hi = a >> 16
+    lo = a & MASK16
+    q1, r1 = _divmod_small(hi, f)
+    a2 = (r1 << 8) | (lo >> 8)
+    q2, r2 = _divmod_small(a2, f)
+    a3 = (r2 << 8) | (lo & jnp.uint32(0xFF))
+    q3, r3 = _divmod_small(a3, f)
+    q = (q1 << 16) + (q2 << 8) + q3
+    return q, r3
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode_scan(starts, freqs, active):
+    """Run W interleaved rANS encoders over T steps.
+
+    Args:
+        starts: uint32 [T, W] quantized CDF at each symbol (< 2^16).
+        freqs: uint32 [T, W] bin widths (>= 1, < 2^16).
+        active: bool [T, W] validity mask (padding lanes are skipped).
+
+    Returns:
+        states: uint32 [W] final lane states (decoder init values).
+        words: uint16 [T, W] candidate emission words.
+        emits: bool [T, W] emission mask (in decoder consumption order).
+    """
+    T, W = starts.shape
+
+    def step(x, inp):
+        start, freq, act = inp
+        x_max = freq << 16
+        emit = act & (x >= x_max)
+        word = (x & MASK16).astype(jnp.uint16)
+        x1 = jnp.where(emit, x >> 16, x)
+        q, r = divmod_u32_u16(x1, freq)
+        x2 = (q << 16) + r + start
+        x = jnp.where(act, x2, x)
+        return x, (word, emit)
+
+    init = jnp.full((W,), RANS_L, jnp.uint32)
+    states, (words, emits) = jax.lax.scan(
+        step, init, (starts, freqs, active), reverse=True
+    )
+    return states, words, emits
+
+
+def pack_words(words, emits):
+    """Compact [T, W] emissions into a flat u16 stream in (t, lane) order.
+
+    Returns (stream [T*W] u16 zero-padded, n_words i32).
+    """
+    T, W = words.shape
+    flat_w = words.reshape(-1)
+    flat_e = emits.reshape(-1)
+    pos = jnp.cumsum(flat_e.astype(jnp.int32)) - 1
+    n_words = jnp.maximum(pos[-1] + 1, 0).astype(jnp.int32)
+    # out-of-bounds scatter indices are dropped
+    idx = jnp.where(flat_e, pos, T * W)
+    stream = jnp.zeros((T * W,), jnp.uint16).at[idx].set(
+        flat_w, mode="drop", unique_indices=False
+    )
+    return stream, n_words
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_scan(states, stream, rows, active, lo):
+    """Decode T*W symbols with per-symbol guarded CDF rows.
+
+    Args:
+        states: uint32 [W] lane init states (from the encoder).
+        stream: uint16 [>= n_words + W] word stream in consumption order.
+        rows: int32 [T, W, L] strictly-monotone boundary CDFs,
+            rows[..., 0] is the CDF below the first bin, rows[..., L-1]
+            = 65536. Symbol value = lo + bin.
+        active: bool [T, W].
+        lo: int32 scalar, value of the first bin.
+
+    Returns:
+        symbols: int32 [T, W] decoded values (0 where inactive).
+    """
+    T, W, L = rows.shape
+    # col_iota[i, j] = j, used to build sel[i, j] = (j == rank[i])
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+
+    # pad stream so dynamic_slice never clamps short
+    stream = jnp.concatenate([stream, jnp.zeros((W,), jnp.uint16)])
+
+    def step(carry, inp):
+        x, g = carry
+        row, act = inp  # [W, L], [W]
+        cf = (x & MASK16).astype(jnp.int32)
+        s = jnp.sum((row <= cf[:, None]).astype(jnp.int32), axis=1) - 1
+        s = jnp.clip(s, 0, L - 2)
+        oh = jax.nn.one_hot(s, L, dtype=jnp.int32)
+        start = jnp.sum(row * oh, axis=1)
+        nxt = jnp.sum(row * jax.nn.one_hot(s + 1, L, dtype=jnp.int32), axis=1)
+        freq = (nxt - start).astype(jnp.uint32)
+
+        x2 = freq * (x >> 16) + cf.astype(jnp.uint32) - start.astype(jnp.uint32)
+        need = act & (x2 < RANS_L)
+        rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+
+        chunk = jax.lax.dynamic_slice(stream, (g,), (W,))
+        # distribute chunk[rank[i]] -> lane i via one-hot matmul (MXU)
+        sel = (col_iota == rank[:, None]).astype(jnp.int32)
+        word = jnp.sum(sel * chunk.astype(jnp.int32)[None, :], axis=1)
+
+        x3 = jnp.where(need, (x2 << 16) | word.astype(jnp.uint32), x2)
+        x = jnp.where(act, x3, x)
+        g = g + jnp.sum(need.astype(jnp.int32))
+        sym = jnp.where(act, lo + s, 0)
+        return (x, g), sym
+
+    (x_fin, g_fin), symbols = jax.lax.scan(
+        step, (states, jnp.int32(0)), (rows, active)
+    )
+    return symbols
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+
+def layout(n: int, w: int):
+    """(T, pad) for laying n symbols over w lanes."""
+    t = -(-max(n, 1) // w)
+    return t, t * w - n
+
+
+def to_lanes(x, w: int, fill=0):
+    """[N, ...] -> [T, W, ...] row-major with padding."""
+    n = x.shape[0]
+    t, pad = layout(n, w)
+    if pad:
+        pad_block = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        x = jnp.concatenate([x, pad_block])
+    return x.reshape((t, w) + x.shape[1:])
+
+
+def active_mask(n: int, t: int, w: int):
+    idx = jax.lax.broadcasted_iota(jnp.int32, (t, w), 0) * w + \
+        jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    return idx < n
+
+
+def from_lanes(x, n: int):
+    """[T, W, ...] -> [N, ...]."""
+    t, w = x.shape[:2]
+    return x.reshape((t * w,) + x.shape[2:])[:n]

@@ -1,4 +1,5 @@
 from .base import LatentCodec
+from .channel_groups import ChannelGroupsLatentCodec
 from .checkerboard import CheckerboardLatentCodec
 from .entropy_bottleneck import EntropyBottleneckLatentCodec
 from .gaussian_conditional import GaussianConditionalLatentCodec
@@ -8,6 +9,7 @@ from .hyperprior import HyperpriorLatentCodec
 
 __all__ = [
     "LatentCodec",
+    "ChannelGroupsLatentCodec",
     "CheckerboardLatentCodec",
     "EntropyBottleneckLatentCodec",
     "GaussianConditionalLatentCodec",

@@ -1,0 +1,64 @@
+"""Fully on-device fast codec: jitted encode/decode consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
+from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net = Cheng2020AnchorCheckerboardGMMv2(N=64, K=4, rngs=nnx.Rngs(0))
+    net.update(update_quantiles=True)
+    codec = FastCheckerboardGmmCodec(net, lanes=64)
+    return net, codec
+
+
+class TestFastCodec:
+    def test_encode_decode_reconstruction(self, setup):
+        net, codec = setup
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        y_shape = tuple(out["y_hat"].shape[1:])
+        x_hat = codec.decode(out, y_shape)
+        assert x_hat.shape == x.shape
+        # The decoder's reconstruction must match g_s applied (in the same
+        # decode program) to the encoder's y_hat -> compare via PSNR against
+        # an independent render; exact symbol equality is tested below.
+        ref = jnp.clip(net.g_s(out["y_hat"]), 0, 1)
+        assert float(jnp.max(jnp.abs(x_hat - ref))) < 1e-4
+
+    def test_symbols_roundtrip_exact(self, setup):
+        """Decoded y_hat must equal the encoder's y_hat bit-for-bit."""
+        net, codec = setup
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        y_shape = tuple(out["y_hat"].shape[1:])
+        y_hat_dec = codec.decode_y_hat(out, y_shape)
+        np.testing.assert_array_equal(
+            np.asarray(y_hat_dec), np.asarray(out["y_hat"])
+        )
+
+    def test_serialization(self, setup):
+        net, codec = setup
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        data = codec.to_bytes(out)
+        assert isinstance(data, bytes) and len(data) == codec.num_bytes(out) + 12
+        out2 = codec.from_bytes(data, tuple(out["y_hat"].shape[1:]))
+        y_shape = tuple(out["y_hat"].shape[1:])
+        np.testing.assert_array_equal(
+            np.asarray(codec.decode_y_hat(out2, y_shape)),
+            np.asarray(out["y_hat"]),
+        )
+
+    def test_rate_sane(self, setup):
+        net, codec = setup
+        x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        bpp = codec.num_bytes(out) * 8 / (64 * 64)
+        assert 0 < bpp < 30  # untrained model, just sanity

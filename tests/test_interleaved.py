@@ -1,0 +1,141 @@
+"""On-device interleaved rANS codec tests (pure-JAX scan implementation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashgmm_tpu.ans import interleaved as il
+from flashgmm_tpu.ans.gaussian_cdf import gmm_guarded_bounds, gmm_guarded_rows
+
+rng = np.random.default_rng(0)
+
+
+class TestDivision:
+    def test_divmod_u32_u16_exhaustive_random(self):
+        a = rng.integers(0, 2**32, 20000, dtype=np.uint32)
+        f = rng.integers(1, 2**16, 20000, dtype=np.uint32)
+        q, r = il.divmod_u32_u16(jnp.asarray(a), jnp.asarray(f))
+        np.testing.assert_array_equal(np.asarray(q), a // f)
+        np.testing.assert_array_equal(np.asarray(r), a % f)
+
+    def test_edge_cases(self):
+        a = np.array([0, 1, 2**32 - 1, 2**16, 2**31], dtype=np.uint32)
+        f = np.array([1, 1, 2**16 - 1, 2, 3], dtype=np.uint32)
+        q, r = il.divmod_u32_u16(jnp.asarray(a), jnp.asarray(f))
+        np.testing.assert_array_equal(np.asarray(q), a // f)
+        np.testing.assert_array_equal(np.asarray(r), a % f)
+
+
+def _gmm_params(n, k=4):
+    scales = rng.uniform(0.11, 6.0, (n, k)).astype(np.float32)
+    means = rng.normal(0, 3, (n, k)).astype(np.float32)
+    w = rng.random((n, k)).astype(np.float32)
+    weights = w / w.sum(1, keepdims=True)
+    return jnp.asarray(scales), jnp.asarray(means), jnp.asarray(weights)
+
+
+class TestGuardedRows:
+    def test_monotone_and_complete(self):
+        scales, means, weights = _gmm_params(64)
+        rows = gmm_guarded_rows(scales, means, weights, jnp.int32(-16), 33)
+        rows = np.asarray(rows)
+        assert rows.shape == (64, 34)
+        assert np.all(np.diff(rows, axis=1) >= 1)  # strictly monotone
+        assert np.all(rows[:, -1] == 65536)
+        assert np.all(rows[:, 0] >= 0)
+
+    def test_bounds_match_rows(self):
+        """Encoder bounds must be bit-identical to decoder row entries."""
+        n, lo, nb = 256, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = jnp.asarray(
+            np.clip(np.round(rng.normal(0, 4, n)), lo, lo + nb - 1).astype(np.int32)
+        )
+        rows = np.asarray(
+            gmm_guarded_rows(scales, means, weights, jnp.int32(lo), nb)
+        )
+        start, freq = gmm_guarded_bounds(
+            values, scales, means, weights, jnp.int32(lo), nb
+        )
+        j = np.asarray(values) - lo
+        np.testing.assert_array_equal(
+            np.asarray(start), rows[np.arange(n), j]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(freq), rows[np.arange(n), j + 1] - rows[np.arange(n), j]
+        )
+
+
+class TestInterleavedRoundtrip:
+    @pytest.mark.parametrize("n,w", [(1000, 64), (4096, 128), (777, 128), (63, 64)])
+    def test_gmm_roundtrip(self, n, w):
+        lo, nb = -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(np.round(rng.normal(0, 3, n)), lo, lo + nb - 2).astype(np.int32)
+        vals_j = jnp.asarray(values)
+
+        start, freq = gmm_guarded_bounds(
+            vals_j, scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        starts = il.to_lanes(start, w)
+        freqs = il.to_lanes(jnp.maximum(freq, 1), w)
+        active = il.active_mask(n, t, w)
+
+        states, words, emits = il.encode_scan(starts, freqs, active)
+        stream, n_words = il.pack_words(words, emits)
+
+        rows = gmm_guarded_rows(scales, means, weights, jnp.int32(lo), nb)
+        rows_l = il.to_lanes(rows, w, fill=0)
+        # padding rows must still be valid monotone tables
+        rows_l = jnp.where(
+            active[..., None], rows_l,
+            jnp.arange(nb + 1, dtype=jnp.int32) * (65536 // (nb + 1)),
+        )
+        decoded = il.decode_scan(states, stream, rows_l, active, jnp.int32(lo))
+        out = np.asarray(il.from_lanes(decoded, n))
+        np.testing.assert_array_equal(out, values)
+
+    def test_rate_reasonable(self):
+        """Interleaved stream should be within a few % of the host coder."""
+        from flashgmm_tpu.ans import rans_numpy
+
+        n, w, lo, nb = 8192, 128, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(np.round(rng.normal(0, 3, n)), lo, lo + nb - 2).astype(np.int32)
+        vals_j = jnp.asarray(values)
+
+        start, freq = gmm_guarded_bounds(
+            vals_j, scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        states, words, emits = il.encode_scan(
+            il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
+            il.active_mask(n, t, w),
+        )
+        stream, n_words = il.pack_words(words, emits)
+        il_bytes = int(n_words) * 2 + w * 4
+
+        # host coder on (unguarded) rows for reference rate
+        from flashgmm_tpu.ans.gaussian_cdf import gmm_boundary_rows
+        rows_u16 = np.asarray(
+            gmm_boundary_rows(scales, means, weights, jnp.int32(lo), nb)
+        )
+        host_bytes = len(rans_numpy.encode_rows(values, rows_u16, lo))
+        assert il_bytes < host_bytes * 1.10 + w * 4
+
+    def test_deterministic(self):
+        n, w, lo, nb = 512, 64, -8, 17
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(np.round(rng.normal(0, 2, n)), lo, lo + nb - 2).astype(np.int32)
+        start, freq = gmm_guarded_bounds(
+            jnp.asarray(values), scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        args = (il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
+                il.active_mask(n, t, w))
+        s1, w1, e1 = il.encode_scan(*args)
+        s2, w2, e2 = il.encode_scan(*args)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
