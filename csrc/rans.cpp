@@ -403,7 +403,66 @@ int64_t fg_decode_gmm_host(const uint8_t* data, int64_t nbytes, int64_t n,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming decoder (for raster-scan autoregressive models): the decoder
+// state persists across calls so the context model can feed back decoded
+// symbols (cf. RansDecoder::set_stream/decode_stream,
+// rans_interface.cpp:886-956).
+// ---------------------------------------------------------------------------
+
+struct StreamingDecoder {
+  std::vector<uint8_t> data;
+  Decoder* dec;
+};
+
+void* fg_decoder_new(const uint8_t* data, int64_t nbytes) {
+  auto* sd = new StreamingDecoder();
+  sd->data.assign(data, data + nbytes);
+  sd->dec = new Decoder(sd->data.data(), nbytes);
+  return sd;
+}
+
+int64_t fg_decoder_decode(void* handle, const int32_t* indexes, int64_t n,
+                          const int32_t* cdfs, int64_t cdf_stride,
+                          const int32_t* cdfs_sizes, const int32_t* offsets,
+                          int32_t* out) {
+  auto* sd = static_cast<StreamingDecoder*>(handle);
+  Decoder& dec = *sd->dec;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t* cdf = cdfs + idx * cdf_stride;
+    const int32_t size = cdfs_sizes[idx];
+    const int32_t max_value = size - 2;
+
+    const uint32_t cum_freq = dec.peek();
+    const int32_t* it =
+        std::upper_bound(cdf, cdf + size, static_cast<int32_t>(cum_freq));
+    int32_t s = static_cast<int32_t>(it - cdf) - 1;
+    dec.advance(static_cast<uint32_t>(cdf[s]),
+                static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+
+    int32_t value = s;
+    if (value == max_value) {
+      const uint32_t raw_val = dec.get_bypass_value();
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = value + offsets[idx];
+  }
+  return n;
+}
+
+void fg_decoder_free(void* handle) {
+  auto* sd = static_cast<StreamingDecoder*>(handle);
+  delete sd->dec;
+  delete sd;
+}
+
 // Build info probe so Python can detect a stale shared library.
-int32_t fg_abi_version() { return 3; }
+int32_t fg_abi_version() { return 4; }
 
 }  // extern "C"

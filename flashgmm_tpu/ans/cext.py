@@ -11,7 +11,7 @@ import threading
 
 import numpy as np
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "rans.cpp"))
@@ -76,6 +76,13 @@ def _declare(lib):
     lib.fg_encode_gmm_host.argtypes = [i32p, i64, f32p, f32p, f32p, i32, i32, u8p, i64]
     lib.fg_decode_gmm_host.restype = i64
     lib.fg_decode_gmm_host.argtypes = [u8p, i64, i64, f32p, f32p, f32p, i32, i32, i32, i32p]
+    lib.fg_decoder_new.restype = ctypes.c_void_p
+    lib.fg_decoder_new.argtypes = [u8p, i64]
+    lib.fg_decoder_decode.restype = i64
+    lib.fg_decoder_decode.argtypes = [
+        ctypes.c_void_p, i32p, i64, i32p, i64, i32p, i32p, i32p]
+    lib.fg_decoder_free.restype = None
+    lib.fg_decoder_free.argtypes = [ctypes.c_void_p]
 
 
 def available() -> bool:
@@ -184,6 +191,42 @@ def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> byt
             _ptr(weights, ctypes.c_float), K, int(approx_mode),
             _ptr(out, ctypes.c_uint8), out.shape[0])
     return out[:nbytes].tobytes()
+
+
+class StreamingDecoder:
+    """Stateful table-path decoder for autoregressive models (decode a few
+    symbols, feed them to the context model, repeat)."""
+
+    def __init__(self, encoded: bytes, cdfs, cdfs_sizes, offsets):
+        self._lib = _load()
+        self._data = np.frombuffer(encoded, dtype=np.uint8)
+        self._handle = self._lib.fg_decoder_new(
+            _ptr(self._data, ctypes.c_uint8), self._data.shape[0]
+        )
+        self._cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
+        self._sizes = np.ascontiguousarray(cdfs_sizes, dtype=np.int32).ravel()
+        self._offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
+
+    def decode(self, indexes):
+        indexes = np.ascontiguousarray(indexes, dtype=np.int32).ravel()
+        out = np.empty(indexes.shape[0], dtype=np.int32)
+        self._lib.fg_decoder_decode(
+            self._handle, _ptr(indexes, ctypes.c_int32), indexes.shape[0],
+            _ptr(self._cdfs, ctypes.c_int32), self._cdfs.shape[1],
+            _ptr(self._sizes, ctypes.c_int32), _ptr(self._offsets, ctypes.c_int32),
+            _ptr(out, ctypes.c_int32))
+        return out
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.fg_decoder_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,

@@ -3,12 +3,17 @@ from .base import (
     SimpleVAECompressionModel,
     get_scale_table,
 )
+from .ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
+from .elic_gmm import Elic2022GMM
 from .google import (
     FactorizedPrior,
     FactorizedPriorReLU,
+    JointAutoregressiveHierarchicalPriors,
     MeanScaleHyperprior,
     ScaleHyperprior,
 )
+from .sensetime import Cheng2020AnchorCheckerboard, Elic2022Official
+from .waseda import Cheng2020Anchor, Cheng2020Attention
 
 __all__ = [
     "CompressionModel",
@@ -18,4 +23,11 @@ __all__ = [
     "FactorizedPriorReLU",
     "ScaleHyperprior",
     "MeanScaleHyperprior",
+    "JointAutoregressiveHierarchicalPriors",
+    "Cheng2020Anchor",
+    "Cheng2020Attention",
+    "Cheng2020AnchorCheckerboard",
+    "Elic2022Official",
+    "Cheng2020AnchorCheckerboardGMMv2",
+    "Elic2022GMM",
 ]

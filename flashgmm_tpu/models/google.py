@@ -7,11 +7,12 @@ the reference so converted PyTorch checkpoints reproduce outputs.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from flashgmm_tpu.entropy_models import EntropyBottleneck, GaussianConditional
-from flashgmm_tpu.layers import GDN, Sequential, conv, deconv
-from flashgmm_tpu.layers.layers import LeakyReLU, ReLU
+from flashgmm_tpu.layers import GDN, MaskedConv2d, Sequential, conv, deconv
+from flashgmm_tpu.layers.layers import Conv2d, LeakyReLU, ReLU
 from flashgmm_tpu.registry import register_model
 
 from .base import CompressionModel
@@ -245,5 +246,135 @@ class MeanScaleHyperprior(ScaleHyperprior):
             y_hat = self.gaussian_conditional.decompress(
                 strings[0], indexes, means=means_hat
             )
+        x_hat = jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+        return {"x_hat": x_hat}
+
+
+@register_model("mbt2018")
+class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
+    """mbt2018: hyperprior + PixelCNN spatial context (google.py:439-736).
+
+    The dense (training) forward runs fully on TPU; ``compress``/
+    ``decompress`` run the inherently-serial raster scan on host
+    (runtime/rasterscan.py) like the reference's per-pixel loop.
+    """
+
+    def __init__(self, N=192, M=192, *, rngs: nnx.Rngs = None, **kwargs):
+        super().__init__(N, M, rngs=rngs, **kwargs)
+        rngs = rngs or nnx.Rngs(0)
+
+        self.h_a = Sequential(
+            conv(M, N, stride=1, kernel_size=3, rngs=rngs), LeakyReLU(),
+            conv(N, N, stride=2, kernel_size=5, rngs=rngs), LeakyReLU(),
+            conv(N, N, stride=2, kernel_size=5, rngs=rngs),
+        )
+        self.h_s = Sequential(
+            deconv(N, M, stride=2, kernel_size=5, rngs=rngs), LeakyReLU(),
+            deconv(M, M * 3 // 2, stride=2, kernel_size=5, rngs=rngs), LeakyReLU(),
+            conv(M * 3 // 2, M * 2, stride=1, kernel_size=3, rngs=rngs),
+        )
+        self.entropy_parameters = Sequential(
+            Conv2d(M * 12 // 3, M * 10 // 3, 1, rngs=rngs), LeakyReLU(),
+            Conv2d(M * 10 // 3, M * 8 // 3, 1, rngs=rngs), LeakyReLU(),
+            Conv2d(M * 8 // 3, M * 6 // 3, 1, rngs=rngs),
+        )
+        self.context_prediction = MaskedConv2d(
+            M, 2 * M, kernel_size=5, padding=2, stride=1, rngs=rngs
+        )
+
+    def __call__(self, x, training: bool = True, key=None):
+        k1, k2, k3 = (
+            jax.random.split(key, 3) if key is not None else (None, None, None)
+        )
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training, key=k1)
+        params = self.h_s(z_hat)
+
+        y_hat = self.gaussian_conditional.quantize(
+            y, "noise" if training else "dequantize", key=k2
+        )
+        ctx_params = self.context_prediction(y_hat)
+        gaussian_params = self.entropy_parameters(
+            jnp.concatenate([params, ctx_params], axis=-1)
+        )
+        scales_hat, means_hat = jnp.split(gaussian_params, 2, axis=-1)
+        _, y_likelihoods = self.gaussian_conditional(
+            y, scales_hat, means=means_hat, training=training, key=k3
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def _host_ar_pieces(self):
+        from flashgmm_tpu.runtime.rasterscan import (
+            HostEntropyParameters,
+            HostMaskedConv,
+        )
+
+        gc = self.gaussian_conditional
+        tables = (
+            np.asarray(jax.device_get(gc.quantized_cdf)),
+            np.asarray(jax.device_get(gc.cdf_length)).ravel(),
+            np.asarray(jax.device_get(gc.offset)).ravel(),
+        )
+        scale_table = np.asarray(jax.device_get(gc.scale_table.value))
+        return (
+            HostMaskedConv(self.context_prediction),
+            HostEntropyParameters(self.entropy_parameters),
+            tables,
+            scale_table,
+            gc.scale_bound,
+        )
+
+    def compress(self, x):
+        from flashgmm_tpu.runtime.rasterscan import (
+            raster_scan_compress_single_stream,
+        )
+
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_strings = self.entropy_bottleneck.compress(z)
+        z_hat = self.entropy_bottleneck.decompress(z_strings, z.shape[1:3])
+        params = self.h_s(z_hat)
+
+        ctx_conv, ep, tables, scale_table, scale_bound = self._host_ar_pieces()
+        y_np = np.asarray(jax.device_get(y))
+        params_np = np.asarray(jax.device_get(params))
+
+        y_strings = []
+        for i in range(y_np.shape[0]):
+            y_strings.append(
+                raster_scan_compress_single_stream(
+                    y_np[i], params_np[i], ctx_conv, ep, tables,
+                    scale_table, scale_bound,
+                )
+            )
+        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+
+    def decompress(self, strings, shape):
+        from flashgmm_tpu.runtime.rasterscan import (
+            raster_scan_decompress_single_stream,
+        )
+
+        assert isinstance(strings, list) and len(strings) == 2
+        z_hat = self.entropy_bottleneck.decompress(strings[1], shape)
+        params = self.h_s(z_hat)
+
+        ctx_conv, ep, tables, scale_table, scale_bound = self._host_ar_pieces()
+        params_np = np.asarray(jax.device_get(params))
+        h, w = shape[0] * 4, shape[1] * 4
+
+        y_hats = []
+        for i, y_string in enumerate(strings[0]):
+            y_hats.append(
+                raster_scan_decompress_single_stream(
+                    y_string, params_np[i], ctx_conv, ep, tables,
+                    scale_table, scale_bound, (h, w, self.M),
+                )
+            )
+        y_hat = jnp.asarray(np.stack(y_hats))
         x_hat = jnp.clip(self.g_s(y_hat), 0.0, 1.0)
         return {"x_hat": x_hat}

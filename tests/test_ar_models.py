@@ -1,0 +1,83 @@
+"""Autoregressive (raster-scan) and sensetime/waseda model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from flashgmm_tpu.models import (
+    Cheng2020Anchor,
+    Cheng2020AnchorCheckerboard,
+    Elic2022Official,
+    JointAutoregressiveHierarchicalPriors,
+)
+
+
+class TestMbt2018:
+    @pytest.fixture(scope="class")
+    def net(self):
+        net = JointAutoregressiveHierarchicalPriors(N=32, M=32, rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        return net
+
+    def test_forward(self, net):
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+        out = net(x, training=True, key=jax.random.key(0))
+        assert out["x_hat"].shape == x.shape
+
+    def test_ar_roundtrip_consistency(self, net):
+        """Serial decode must reproduce the y_hat the serial encoder built."""
+        from flashgmm_tpu.runtime.rasterscan import (
+            raster_scan_compress_single_stream,
+            raster_scan_decompress_single_stream,
+        )
+
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32))
+        y = net.g_a(x)
+        z = net.h_a(y)
+        z_strings = net.entropy_bottleneck.compress(z)
+        z_hat = net.entropy_bottleneck.decompress(z_strings, z.shape[1:3])
+        params = np.asarray(jax.device_get(net.h_s(z_hat)))[0]
+        y_np = np.asarray(jax.device_get(y))[0]
+
+        ctx_conv, ep, tables, scale_table, scale_bound = net._host_ar_pieces()
+        s = raster_scan_compress_single_stream(
+            y_np, params, ctx_conv, ep, tables, scale_table, scale_bound
+        )
+        y_hat = raster_scan_decompress_single_stream(
+            s, params, ctx_conv, ep, tables, scale_table, scale_bound,
+            y_np.shape,
+        )
+        # the decoded y_hat must equal round(y - mu) + mu for the means the
+        # encoder computed; verify by re-encoding -> identical bitstream
+        s2 = raster_scan_compress_single_stream(
+            y_hat, params, ctx_conv, ep, tables, scale_table, scale_bound
+        )
+        assert s == s2
+
+    def test_full_compress_decompress(self, net):
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32))
+        c = net.compress(x)
+        r = net.decompress(c["strings"], c["shape"])
+        assert r["x_hat"].shape == x.shape
+
+
+@pytest.mark.parametrize(
+    "cls,kwargs,n_strings",
+    [
+        (Cheng2020Anchor, dict(N=32), 2),
+        (Cheng2020AnchorCheckerboard, dict(N=32), 3),
+        (Elic2022Official, dict(N=32, M=64, groups=[8, 8, 16, 16, 16]), 11),
+    ],
+)
+def test_model_roundtrip(cls, kwargs, n_strings):
+    net = cls(**kwargs, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+    out = net(x, training=True, key=jax.random.key(0))
+    assert out["x_hat"].shape == x.shape
+    net.update(update_quantiles=True)
+    c = net.compress(x)
+    assert len(c["strings"]) == n_strings
+    r = net.decompress(c["strings"], c["shape"])
+    assert r["x_hat"].shape == x.shape
