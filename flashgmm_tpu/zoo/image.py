@@ -1,0 +1,110 @@
+"""Model zoo: per-architecture per-quality configurations
+(compressai/zoo/image.py:54-260).
+
+This environment has no network egress, so pretrained weights must be
+supplied as local files (torch ``.pth`` via the converter, or orbax
+checkpoints); ``create_model`` builds the right architecture/size for a
+(arch, quality) pair and optionally loads weights.
+"""
+
+from flax import nnx
+
+from flashgmm_tpu.registry import MODELS
+
+# (quality -> constructor args), mirroring the reference's cfgs
+cfgs = {
+    "bmshj2018-factorized": {
+        1: (128, 192), 2: (128, 192), 3: (128, 192), 4: (128, 192),
+        5: (128, 256), 6: (192, 320), 7: (192, 320), 8: (192, 320),
+    },
+    "bmshj2018-factorized-relu": {
+        1: (128, 192), 2: (128, 192), 3: (128, 192), 4: (128, 192),
+        5: (128, 256), 6: (192, 320), 7: (192, 320), 8: (192, 320),
+    },
+    "bmshj2018-hyperprior": {
+        1: (128, 192), 2: (128, 192), 3: (128, 192), 4: (128, 192),
+        5: (128, 256), 6: (192, 320), 7: (192, 320), 8: (192, 320),
+    },
+    "mbt2018-mean": {
+        1: (128, 192), 2: (128, 192), 3: (128, 192), 4: (128, 192),
+        5: (192, 320), 6: (192, 320), 7: (192, 320), 8: (192, 320),
+    },
+    "mbt2018": {
+        1: (192, 192), 2: (192, 192), 3: (192, 192), 4: (192, 192),
+        5: (192, 320), 6: (192, 320), 7: (192, 320), 8: (192, 320),
+    },
+    "cheng2020-anchor": {
+        1: (128,), 2: (128,), 3: (128,), 4: (192,), 5: (192,), 6: (192,),
+    },
+    "cheng2020-attn": {
+        1: (128,), 2: (128,), 3: (128,), 4: (192,), 5: (192,), 6: (192,),
+    },
+    "cheng2020-anchor-checkerboard": {
+        1: (128,), 2: (128,), 3: (128,), 4: (192,), 5: (192,), 6: (192,),
+    },
+    "cheng2020-anchor-checkerboard-gmm": {
+        1: (128,), 2: (128,), 3: (128,), 4: (192,), 5: (192,), 6: (192,),
+    },
+    "elic2022-official": {
+        1: (192, 320), 2: (192, 320), 3: (192, 320), 4: (192, 320),
+        5: (192, 320), 6: (192, 320),
+    },
+    "elic2022-gaussian": {
+        1: (192, 320), 2: (192, 320), 3: (192, 320), 4: (192, 320),
+        5: (192, 320), 6: (192, 320),
+    },
+}
+
+model_architectures = dict(MODELS)
+
+
+def create_model(architecture: str, quality: int = 1, metric: str = "mse",
+                 weights_path: str = None, K: int = 4, *, rngs=None, **kwargs):
+    """Instantiate a zoo model; optionally load local weights.
+
+    ``weights_path`` may be an orbax checkpoint dir or a torch .pth file.
+    """
+    if architecture not in cfgs:
+        raise ValueError(f'Unknown architecture "{architecture}"')
+    if quality not in cfgs[architecture]:
+        raise ValueError(
+            f'Invalid quality "{quality}" for {architecture}, '
+            f"expected one of {sorted(cfgs[architecture])}"
+        )
+    args = cfgs[architecture][quality]
+    cls = MODELS[architecture]
+    import inspect
+
+    sig = inspect.signature(cls.__init__)
+    ckwargs = dict(kwargs)
+    names = ["N", "M"]
+    for name, val in zip(names, args):
+        if name in sig.parameters:
+            ckwargs[name] = val
+    if "K" in sig.parameters:
+        ckwargs.setdefault("K", K)
+    model = cls(**ckwargs, rngs=rngs or nnx.Rngs(0))
+
+    if weights_path:
+        import os
+
+        if os.path.isdir(weights_path):
+            from flashgmm_tpu.utils.checkpoint import load_checkpoint
+
+            load_checkpoint(weights_path, model)
+        else:
+            from .torch_convert import load_checkpoint_file
+
+            load_checkpoint_file(model, weights_path, strict=False)
+    return model
+
+
+def image_models(architecture, quality=1, metric="mse", pretrained=False,
+                 weights_path=None, **kwargs):
+    """CompressAI-style zoo entry point (zoo/__init__.py:43-70)."""
+    if pretrained and weights_path is None:
+        raise RuntimeError(
+            "No network egress in this environment: pass weights_path= with "
+            "a local checkpoint instead of pretrained=True"
+        )
+    return create_model(architecture, quality, metric, weights_path, **kwargs)
