@@ -11,3 +11,7 @@ __all__ = [
     "GaussianConditional",
     "GaussianMixtureConditional",
 ]
+
+from .entropy_models_vbr import EntropyBottleneckVbr, GaussianConditionalVbr  # noqa: E402
+
+__all__ += ["EntropyBottleneckVbr", "GaussianConditionalVbr"]
