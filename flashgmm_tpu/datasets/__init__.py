@@ -2,3 +2,13 @@ from .image import ImageFolder, load_image, save_image
 from .loader import BatchLoader
 
 __all__ = ["ImageFolder", "BatchLoader", "load_image", "save_image"]
+from .rawvideo import RawVideoSequence, VideoFormat, get_raw_video_file_info  # noqa: E402
+from .video import VideoFolder, Vimeo90kDataset  # noqa: E402
+
+__all__ += [
+    "RawVideoSequence",
+    "VideoFormat",
+    "get_raw_video_file_info",
+    "VideoFolder",
+    "Vimeo90kDataset",
+]

@@ -17,3 +17,12 @@ __all__ = [
     "HyperLatentCodec",
     "HyperpriorLatentCodec",
 ]
+
+from .gain import GainHyperLatentCodec, GainHyperpriorLatentCodec  # noqa: E402
+from .rasterscan import RasterScanLatentCodec  # noqa: E402
+
+__all__ += [
+    "GainHyperLatentCodec",
+    "GainHyperpriorLatentCodec",
+    "RasterScanLatentCodec",
+]
