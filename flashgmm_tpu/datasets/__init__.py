@@ -12,3 +12,16 @@ __all__ += [
     "VideoFolder",
     "Vimeo90kDataset",
 ]
+from .utils import (  # noqa: E402
+    CacheDataset,
+    NdArrayDataset,
+    PreGeneratedMemmapDataset,
+    StackDataset,
+)
+
+__all__ += [
+    "CacheDataset",
+    "NdArrayDataset",
+    "StackDataset",
+    "PreGeneratedMemmapDataset",
+]

@@ -44,3 +44,7 @@ __all__ = [
     "Reshape",
     "Transpose",
 ]
+
+from .layers import SpectralConv2d, SpectralConvTranspose2d  # noqa: E402
+
+__all__ += ["SpectralConv2d", "SpectralConvTranspose2d"]

@@ -238,6 +238,62 @@ def subpel_conv3x3(in_ch, out_ch, r=1, *, rngs):
     )
 
 
+class SpectralConv2d(Conv2d):
+    """Conv with weights stored in the real-FFT domain (Ballé 2018
+    "spectral Adam"; layers.py:59-106): optimizer updates hit all
+    frequencies equally, improving conditioning."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 use_bias=True, *, rngs):
+        super().__init__(in_ch, out_ch, kernel_size, stride, padding,
+                         use_bias, rngs=rngs)
+        kh, kw, _, _ = self.kernel.value.shape
+        self.kernel_size_hw = (kh, kw)
+        w = self.kernel.value
+        # store transformed; kernel property reconstructs spatial weights
+        self.kernel_transformed = nnx.Param(self._to_transform_domain(w))
+        del self.kernel
+
+    def _to_transform_domain(self, w):
+        return jnp.fft.rfftn(w, s=self.kernel_size_hw, axes=(0, 1), norm="ortho")
+
+    def _from_transform_domain(self, wt):
+        return jnp.fft.irfftn(wt, s=self.kernel_size_hw, axes=(0, 1), norm="ortho")
+
+    def _weight(self):
+        return self._from_transform_domain(self.kernel_transformed.value)
+
+
+class SpectralConvTranspose2d(ConvTranspose2d):
+    """Transposed variant of :class:`SpectralConv2d`."""
+
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 output_padding=0, use_bias=True, *, rngs):
+        super().__init__(in_ch, out_ch, kernel_size, stride, padding,
+                         output_padding, use_bias, rngs=rngs)
+        kh, kw, _, _ = self.kernel.value.shape
+        self.kernel_size_hw = (kh, kw)
+        w = self.kernel.value
+        self.kernel_transformed = nnx.Param(
+            jnp.fft.rfftn(w, s=self.kernel_size_hw, axes=(0, 1), norm="ortho")
+        )
+        del self.kernel
+
+    def __call__(self, x):
+        kernel = jnp.fft.irfftn(
+            self.kernel_transformed.value, s=self.kernel_size_hw, axes=(0, 1),
+            norm="ortho",
+        )
+        kernel = jnp.flip(kernel, axis=(0, 1))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), self.padding, lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
 class MaskedConv2d(Conv2d):
     """Masked conv for autoregressive context models (layers.py:118-144).
 
