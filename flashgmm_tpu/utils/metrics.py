@@ -52,8 +52,13 @@ _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
 def ms_ssim(a, b, max_val: float = 1.0):
-    """Multi-scale SSIM (Wang et al. 2003), 5 scales."""
+    """Multi-scale SSIM (Wang et al. 2003), up to 5 scales (fewer for small
+    images — each scale needs at least the 11x11 window; weights are
+    renormalized)."""
+    min_dim = min(a.shape[1], a.shape[2])
     levels = len(_MSSSIM_WEIGHTS)
+    while levels > 1 and (min_dim >> (levels - 1)) < 11:
+        levels -= 1
     vals = []
     for i in range(levels):
         s, cs = _ssim_components(a, b, max_val)
@@ -65,5 +70,6 @@ def ms_ssim(a, b, max_val: float = 1.0):
             a = a[:, :h2, :w2].reshape(n, h // 2, 2, w // 2, 2, c).mean((2, 4))
             b = b[:, :h2, :w2].reshape(n, h // 2, 2, w // 2, 2, c).mean((2, 4))
     vals = jnp.stack(vals)
-    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:levels])
+    weights = weights / weights.sum() if levels < len(_MSSSIM_WEIGHTS) else weights
     return jnp.prod(jnp.clip(vals, 1e-6) ** weights)

@@ -1,0 +1,133 @@
+"""VBR, video, point-cloud, and sigmoid-kernel model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+
+def _img(seed=0, hw=64):
+    return jnp.asarray(np.random.RandomState(seed).rand(1, hw, hw, 3).astype(np.float32))
+
+
+class TestVbr:
+    def test_scale_hyperprior_vbr_rate_ordering(self):
+        from flashgmm_tpu.models.vbr import ScaleHyperpriorVbr
+
+        net = ScaleHyperpriorVbr(32, 48, rngs=nnx.Rngs(0))
+        x = _img()
+        for stage in (1, 2):
+            out = net(x, training=True, key=jax.random.key(0), stage=stage, s=3)
+            assert out["x_hat"].shape == x.shape
+        net.update(force=True)
+        sizes = []
+        for s in (0, 7):
+            c = net.compress(x, s=s)
+            r = net.decompress(c["strings"], c["shape"], s=s)
+            assert r["x_hat"].shape == x.shape
+            sizes.append(sum(len(b) for ss in c["strings"] for b in ss))
+        assert sizes[1] > sizes[0]
+
+    def test_eb_vbr_update_variable(self):
+        from flashgmm_tpu.entropy_models import EntropyBottleneckVbr
+
+        eb = EntropyBottleneckVbr(8, rngs=nnx.Rngs(0))
+        assert eb.update_variable(force=True, qs=0.5)
+        x = _img(hw=32)[..., :3]
+        x8 = jnp.concatenate([x, x[..., :1].repeat(5, -1)], axis=-1)
+        strings = eb.compress(x8, qs=0.5)
+        x_hat = eb.decompress(strings, (32, 32), qs=0.5)
+        medians = eb._get_medians()[:, 0, 0]
+        expected = jnp.round((x8 - medians) / 0.5) * 0.5 + medians
+        np.testing.assert_allclose(np.asarray(x_hat), np.asarray(expected), atol=1e-5)
+
+
+class TestVideo:
+    @pytest.fixture(scope="class")
+    def net(self):
+        from flashgmm_tpu.models.video import ScaleSpaceFlow
+
+        net = ScaleSpaceFlow(rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        return net
+
+    def test_forward_and_roundtrip(self, net):
+        frames = [
+            jnp.asarray(np.random.RandomState(i).rand(1, 128, 128, 3).astype(np.float32))
+            for i in range(2)
+        ]
+        out = net(frames, training=True, key=jax.random.key(0))
+        assert len(out["x_hat"]) == 2
+        strings, shapes = net.compress(frames)
+        dec = net.decompress(strings, shapes)
+        assert len(dec) == 2 and dec[0].shape == frames[0].shape
+
+    def test_gaussian_volume_shape(self, net):
+        x = _img(hw=64)
+        vol = net.gaussian_volume(x, 1.5, 3)
+        assert vol.shape == (1, 4, 64, 64, 3)
+
+
+class TestPointCloud:
+    def test_roundtrip_and_loss(self):
+        from flashgmm_tpu.losses.pointcloud import (
+            ChamferPccRateDistortionLoss,
+            chamfer_distance,
+        )
+        from flashgmm_tpu.models.pointcloud import PointNetReconstructionPccModel
+
+        net = PointNetReconstructionPccModel(
+            num_points=128, latent_dim=32, rngs=nnx.Rngs(0)
+        )
+        pts = jnp.asarray(np.random.RandomState(0).rand(2, 128, 3).astype(np.float32))
+        out = net(pts, training=True, key=jax.random.key(0))
+        loss = ChamferPccRateDistortionLoss()(out, pts)
+        assert np.isfinite(float(loss["loss"]))
+        assert float(chamfer_distance(pts, pts)) < 1e-6  # f32 noise floor
+        net.update(update_quantiles=True)
+        c = net.compress(pts)
+        r = net.decompress(c["strings"], c["shape"])
+        assert r["x_hat"].shape == pts.shape
+
+
+class TestSigmoidKernel:
+    def test_forward(self):
+        from flashgmm_tpu.models.sigmoidkernel import SigmoidCDFCompressor
+
+        net = SigmoidCDFCompressor(N=32, K=2, rngs=nnx.Rngs(0))
+        x = _img()
+        out = net(x, training=True, key=jax.random.key(0))
+        lk = out["likelihoods"]["y"]
+        assert jnp.all(lk > 0) and jnp.all(lk <= 1)
+
+
+class TestMetrics:
+    def test_psnr_and_msssim(self):
+        from flashgmm_tpu.utils.metrics import ms_ssim, psnr, ssim
+
+        a = _img(0, 128)
+        assert float(psnr(a, a)) > 100
+        assert abs(float(ssim(a, a)) - 1.0) < 1e-5
+        assert abs(float(ms_ssim(a, a)) - 1.0) < 1e-4
+        b = jnp.clip(a + 0.1, 0, 1)
+        assert float(ms_ssim(a, b)) < 1.0
+
+
+class TestTransforms:
+    def test_color_roundtrip(self):
+        from flashgmm_tpu.transforms import rgb2ycbcr, ycbcr2rgb
+
+        x = _img(3)
+        np.testing.assert_allclose(
+            np.asarray(ycbcr2rgb(rgb2ycbcr(x))), np.asarray(x), atol=1e-5
+        )
+
+    def test_yuv_420_444(self):
+        from flashgmm_tpu.transforms import yuv_420_to_444, yuv_444_to_420
+
+        x = _img(4)
+        y, u, v = yuv_444_to_420(x)
+        assert u.shape == (1, 32, 32, 1)
+        out = yuv_420_to_444((y, u, v))
+        assert out.shape == x.shape
