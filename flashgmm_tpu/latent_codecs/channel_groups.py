@@ -26,12 +26,23 @@ class ChannelGroupsLatentCodec(LatentCodec):
         channel_context: Optional[Mapping[str, object]] = None,
         *,
         groups: List[int],
+        context_mode: str = "all",
         **kwargs,
     ):
+        # context_mode: "all" concatenates every previously decoded group;
+        # "first_and_last" uses only the first + most recent (the Chandelier
+        # ELIC variant, sensetime.py:523-538).
+        assert context_mode in ("all", "first_and_last")
         self.groups = list(groups)
         self.groups_acc = list(accumulate(self.groups, initial=0))
+        self.context_mode = context_mode
         self.channel_context = nnx.Dict(channel_context or {})
         self.latent_codec = nnx.Dict(latent_codec or {})
+
+    def _merge_y(self, y_hat_list):
+        if self.context_mode == "first_and_last" and 1 < len(y_hat_list) < len(self.groups):
+            return jnp.concatenate([y_hat_list[0], y_hat_list[-1]], axis=-1)
+        return jnp.concatenate(y_hat_list, axis=-1)
 
     def _split(self, y):
         return [
@@ -42,7 +53,7 @@ class ChannelGroupsLatentCodec(LatentCodec):
     def _get_ctx_params(self, k, side_params, y_hat_):
         if k == 0:
             return side_params
-        ch_ctx = self.channel_context[f"y{k}"](jnp.concatenate(y_hat_[:k], axis=-1))
+        ch_ctx = self.channel_context[f"y{k}"](self._merge_y(y_hat_[:k]))
         return jnp.concatenate([ch_ctx, side_params], axis=-1)
 
     def __call__(self, y, side_params, training: bool = True, key=None):

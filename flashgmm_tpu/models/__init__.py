@@ -31,3 +31,16 @@ __all__ = [
     "Cheng2020AnchorCheckerboardGMMv2",
     "Elic2022GMM",
 ]
+
+from .chandelier import Elic2022Chandelier  # noqa: E402
+from .sigmoidkernel import SigmoidCDFCompressor  # noqa: E402
+from .vbr import MeanScaleHyperpriorVbr, ScaleHyperpriorVbr  # noqa: E402
+from .video import ScaleSpaceFlow  # noqa: E402
+
+__all__ += [
+    "Elic2022Chandelier",
+    "SigmoidCDFCompressor",
+    "ScaleHyperpriorVbr",
+    "MeanScaleHyperpriorVbr",
+    "ScaleSpaceFlow",
+]
