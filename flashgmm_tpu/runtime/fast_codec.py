@@ -281,22 +281,31 @@ class FastCheckerboardGmmCodec:
             off += n * 2
             stream = np.zeros((cap,), np.uint16)
             stream[:n] = words
+            # hand numpy straight to the decode jit (implicit async H2D)
             out[name] = PassStream(
-                jnp.asarray(states), jnp.asarray(stream), jnp.int32(n)
+                np.ascontiguousarray(states), stream, np.int32(n)
             )
         return out
 
     def to_bytes(self, out):
-        """Fetch the three streams and pack into a single byte string."""
+        """Fetch the three streams and pack into a single byte string.
+
+        Uses async host copies so the three fetches overlap (the tunnel has
+        a high fixed per-transfer latency)."""
+        arrays = []
+        for p in (out["z"], out["y0"], out["y1"]):
+            arrays += [p.n_words, p.states, p.stream]
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         parts = []
-        fetched = jax.device_get(
-            [(p.states, p.stream, p.n_words) for p in (out["z"], out["y0"], out["y1"])]
-        )
-        for states, stream, n_words in fetched:
-            n = int(n_words)
+        for i in range(0, 9, 3):
+            n = int(np.asarray(arrays[i]))
             parts.append(np.uint32(n).tobytes())
-            parts.append(np.asarray(states).tobytes())
-            parts.append(np.asarray(stream[:n]).tobytes())
+            parts.append(np.asarray(arrays[i + 1]).tobytes())
+            parts.append(np.asarray(arrays[i + 2])[:n].tobytes())
         return b"".join(parts)
 
     def num_bytes(self, out):
