@@ -39,40 +39,52 @@ def main():
     model.update(update_quantiles=True)
     codec = FastCheckerboardGmmCodec(model, lanes=512)
 
+    # Low-contrast smooth content puts the (untrained) model at a realistic
+    # operating rate (~1-2 bpp like trained models on Kodak) rather than the
+    # ~16 bits/symbol max-entropy regime random content produces.
     rs = np.random.RandomState(0)
     imgs = []
     for i in range(N_IMAGES):
         base = rs.rand(H // 16, W // 16, 3).astype(np.float32)
         img = jax.image.resize(jnp.asarray(base), (H, W, 3), "bilinear")[None]
+        img = 0.5 + 0.08 * (img - 0.5)
         imgs.append(jax.device_put(jnp.clip(img, 0.0, 1.0)))
 
     # warm-up / compile
-    out = codec.encode(imgs[0])
+    data, out = codec.encode_to_bytes(imgs[0])
     y_shape = tuple(out["y_hat"].shape[1:])
-    data = codec.to_bytes(out)
     rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
     rec.block_until_ready()
 
     # single-image latency
     t0 = time.time()
-    out = codec.encode(imgs[1])
-    data = codec.to_bytes(out)
+    data, _ = codec.encode_to_bytes(imgs[1])
     lat_enc = (time.time() - t0) * 1000
     t0 = time.time()
     rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
     rec.block_until_ready()
     lat_dec = (time.time() - t0) * 1000
 
-    # steady-state pipelined throughput (encode + serialize)
+    def start_async(o):
+        for p in (o["z"], o["y0"], o["y1"]):
+            for a in (p.n_words, p.states, p.stream):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+
+    # steady-state pipelined throughput (encode + serialize, 2-deep)
     t0 = time.time()
     datas = []
-    prev_out = None
+    pending = []
     for img in imgs:
-        cur = codec.encode(img)  # dispatch next while fetching previous
-        if prev_out is not None:
-            datas.append(codec.to_bytes(prev_out))
-        prev_out = cur
-    datas.append(codec.to_bytes(prev_out))
+        cur = codec.encode(img)
+        start_async(cur)
+        pending.append(cur)
+        if len(pending) > 2:
+            datas.append(codec.to_bytes(pending.pop(0)))
+    while pending:
+        datas.append(codec.to_bytes(pending.pop(0)))
     enc_ms = (time.time() - t0) / N_IMAGES * 1000
 
     # steady-state pipelined decode (deserialize + decode)

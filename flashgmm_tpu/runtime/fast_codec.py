@@ -33,20 +33,30 @@ from flashgmm_tpu.ans.gaussian_cdf import (
 )
 
 
+class StreamOverflow(RuntimeError):
+    """Capped encode buffer exceeded (pathological input); retry with
+    ``encode(x, full=True)``."""
+
+
 class PassStream(NamedTuple):
     states: jnp.ndarray  # uint32 [W]
     stream: jnp.ndarray  # uint16 [cap]
     n_words: jnp.ndarray  # int32 scalar
 
 
-def _encode_pass(values, start, freq, w: int):
+def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4):
+    """Encode one symbol stream; the returned buffer is statically capped at
+    ``T*W // cap_divisor`` words (~16/cap_divisor bits/symbol) to shrink the
+    device->host fetch. ``n_words`` exceeding the cap signals overflow (the
+    caller re-runs the uncapped variant — pathological inputs only)."""
     n = values.shape[0]
     t, _ = il.layout(n, w)
     states, words, emits = il.encode_scan(
         il.to_lanes(start, w), il.to_lanes(freq, w), il.active_mask(n, t, w)
     )
     stream, n_words = il.pack_words(words, emits)
-    return PassStream(states, stream, n_words)
+    cap = max(t * w // cap_divisor, w)
+    return PassStream(states, stream[:cap], n_words)
 
 
 def _decode_pass(ps: PassStream, rows, n: int, lo, w: int):
@@ -64,13 +74,20 @@ def _decode_pass(ps: PassStream, rows, n: int, lo, w: int):
 class FastCheckerboardGmmCodec:
     """Jitted encode/decode around a Cheng2020AnchorCheckerboardGMMv2."""
 
-    def __init__(self, model, lanes: int = 128, max_abs: int = 47):
+    def __init__(self, model, lanes: int = 128, max_abs: int = 47,
+                 cap_divisor: int = 4):
         self.lanes = int(lanes)
         self.max_abs = int(max_abs)  # symbols clamped to [-max_abs, max_abs]
+        self.cap_divisor = int(cap_divisor)
         self.mode = get_approx_mode()
         self._graphdef, self._state = nnx.split(model)
 
-        self._encode_jit = jax.jit(self._encode_impl)
+        self._encode_jit = jax.jit(
+            functools.partial(self._encode_impl, cap_divisor=self.cap_divisor)
+        )
+        self._encode_full_jit = jax.jit(
+            functools.partial(self._encode_impl, cap_divisor=1)
+        )
         self._decode_jit = jax.jit(self._decode_impl, static_argnums=(4,))
         self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(4,))
 
@@ -118,7 +135,7 @@ class FastCheckerboardGmmCodec:
 
     # -- encode --------------------------------------------------------------
 
-    def _encode_impl(self, state, x):
+    def _encode_impl(self, state, x, cap_divisor: int = 4):
         m, ckbd, hyper, gmm_lc = self._modules(state)
         eb = hyper.entropy_bottleneck
         w_lanes = self.lanes
@@ -148,7 +165,7 @@ class FastCheckerboardGmmCodec:
             rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
         )
         z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
-        ps_z = _encode_pass(zb + 0, z_start, z_freq, w_lanes)
+        ps_z = _encode_pass(zb + 0, z_start, z_freq, w_lanes, cap_divisor)
 
         # -- hyper params + checkerboard passes
         params = hyper.h_s(z_hat)
@@ -171,7 +188,9 @@ class FastCheckerboardGmmCodec:
             start, freq = gmm_guarded_bounds(
                 sym_flat, scales, means, weights, lo, num_bins, self.mode
             )
-            streams.append(_encode_pass(sym_flat, start, freq, w_lanes))
+            streams.append(
+                _encode_pass(sym_flat, start, freq, w_lanes, cap_divisor)
+            )
             y_hat_ = y_hat_.at[i].set(sym.astype(jnp.float32))
 
         y_hat = ckbd.embed(y_hat_)
@@ -235,8 +254,13 @@ class FastCheckerboardGmmCodec:
 
     # -- public API ----------------------------------------------------------
 
-    def encode(self, x):
-        """Returns device-side dict; call ``to_bytes`` for serialization."""
+    def encode(self, x, full: bool = False):
+        """Returns device-side dict; call ``to_bytes`` for serialization.
+
+        ``full=True`` disables the stream cap (used as the overflow
+        fallback for pathological inputs)."""
+        if full:
+            return self._encode_full_jit(self._state, x)
         return self._encode_jit(self._state, x)
 
     def decode(self, out_or_streams, y_shape):
@@ -252,14 +276,18 @@ class FastCheckerboardGmmCodec:
         return self._decode_y_jit(self._state, ps_z, ps_y0, ps_y1, y_shape)
 
     def stream_capacities(self, y_shape):
-        """(cap_z, cap_y) padded stream lengths for an image with latent
+        """(cap_z, cap_y) capped stream lengths for an image with latent
         y_shape = (h, w, c)."""
         h, w, c = y_shape
         n_y = h * (w // 2) * c
         n_z = (h // 4) * (w // 4) * self._z_channels()
         t_y, _ = il.layout(n_y, self.lanes)
         t_z, _ = il.layout(n_z, self.lanes)
-        return t_z * self.lanes, t_y * self.lanes
+        cd = self.cap_divisor
+        return (
+            max(t_z * self.lanes // cd, self.lanes),
+            max(t_y * self.lanes // cd, self.lanes),
+        )
 
     def _z_channels(self):
         m = nnx.merge(self._graphdef, self._state)
@@ -279,6 +307,8 @@ class FastCheckerboardGmmCodec:
             off += self.lanes * 4
             words = np.frombuffer(data, np.uint16, n, off)
             off += n * 2
+            if n > cap:  # overflow file: grow to lane multiple (rare)
+                cap = -(-n // self.lanes) * self.lanes
             stream = np.zeros((cap,), np.uint16)
             stream[:n] = words
             # hand numpy straight to the decode jit (implicit async H2D)
@@ -303,10 +333,25 @@ class FastCheckerboardGmmCodec:
         parts = []
         for i in range(0, 9, 3):
             n = int(np.asarray(arrays[i]))
+            stream = np.asarray(arrays[i + 2])
+            if n > stream.shape[0]:
+                raise StreamOverflow(
+                    f"pass stream overflow ({n} > {stream.shape[0]} words); "
+                    "re-encode with encode(x, full=True)"
+                )
             parts.append(np.uint32(n).tobytes())
             parts.append(np.asarray(arrays[i + 1]).tobytes())
-            parts.append(np.asarray(arrays[i + 2])[:n].tobytes())
+            parts.append(stream[:n].tobytes())
         return b"".join(parts)
+
+    def encode_to_bytes(self, x):
+        """encode + to_bytes with automatic overflow fallback."""
+        out = self.encode(x)
+        try:
+            return self.to_bytes(out), out
+        except StreamOverflow:
+            out = self.encode(x, full=True)
+            return self.to_bytes(out), out
 
     def num_bytes(self, out):
         fetched = jax.device_get(
