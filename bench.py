@@ -73,6 +73,14 @@ def main():
                 except AttributeError:
                     pass
 
+    from flashgmm_tpu.runtime.fast_codec import StreamOverflow
+
+    def finalize(o, img):
+        try:
+            return codec.to_bytes(o)
+        except StreamOverflow:
+            return codec.to_bytes(codec.encode(img, full=True))
+
     # steady-state pipelined throughput (encode + serialize, 2-deep)
     t0 = time.time()
     datas = []
@@ -80,11 +88,11 @@ def main():
     for img in imgs:
         cur = codec.encode(img)
         start_async(cur)
-        pending.append(cur)
+        pending.append((cur, img))
         if len(pending) > 2:
-            datas.append(codec.to_bytes(pending.pop(0)))
+            datas.append(finalize(*pending.pop(0)))
     while pending:
-        datas.append(codec.to_bytes(pending.pop(0)))
+        datas.append(finalize(*pending.pop(0)))
     enc_ms = (time.time() - t0) / N_IMAGES * 1000
 
     # steady-state pipelined decode (deserialize + decode)

@@ -165,7 +165,8 @@ class FastCheckerboardGmmCodec:
             rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
         )
         z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
-        ps_z = _encode_pass(zb + 0, z_start, z_freq, w_lanes, cap_divisor)
+        # z is ~10% of the payload; not worth the overflow risk of capping
+        ps_z = _encode_pass(zb + 0, z_start, z_freq, w_lanes, 1)
 
         # -- hyper params + checkerboard passes
         params = hyper.h_s(z_hat)
@@ -285,7 +286,7 @@ class FastCheckerboardGmmCodec:
         t_z, _ = il.layout(n_z, self.lanes)
         cd = self.cap_divisor
         return (
-            max(t_z * self.lanes // cd, self.lanes),
+            t_z * self.lanes,  # z is never capped
             max(t_y * self.lanes // cd, self.lanes),
         )
 

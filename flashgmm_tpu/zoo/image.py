@@ -108,3 +108,15 @@ def image_models(architecture, quality=1, metric="mse", pretrained=False,
             "a local checkpoint instead of pretrained=True"
         )
     return create_model(architecture, quality, metric, weights_path, **kwargs)
+
+
+# VBR models: one model spans the 8-lambda sweep (s = 0..7)
+cfgs_vbr = {
+    "bmshj2018-hyperprior-vbr": (192, 320),
+    "mbt2018-mean-vbr": (192, 320),
+}
+
+# video zoo (ssf2020): per-quality lambda only; single architecture
+cfgs_video = {
+    "ssf2020": {q: () for q in range(1, 10)},
+}

@@ -63,12 +63,16 @@ class TestMbt2018:
         assert r["x_hat"].shape == x.shape
 
 
+from flashgmm_tpu.models import Elic2022Chandelier  # noqa: E402
+
+
 @pytest.mark.parametrize(
     "cls,kwargs,n_strings",
     [
         (Cheng2020Anchor, dict(N=32), 2),
         (Cheng2020AnchorCheckerboard, dict(N=32), 3),
         (Elic2022Official, dict(N=32, M=64, groups=[8, 8, 16, 16, 16]), 11),
+        (Elic2022Chandelier, dict(N=32, M=64, groups=[8, 8, 16, 16, 16]), 11),
     ],
 )
 def test_model_roundtrip(cls, kwargs, n_strings):

@@ -14,7 +14,9 @@ from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
 def setup():
     net = Cheng2020AnchorCheckerboardGMMv2(N=64, K=4, rngs=nnx.Rngs(0))
     net.update(update_quantiles=True)
-    codec = FastCheckerboardGmmCodec(net, lanes=64)
+    # untrained model + random input = near-max-entropy streams, so test
+    # with the cap disabled; the capped+fallback path is tested separately
+    codec = FastCheckerboardGmmCodec(net, lanes=64, cap_divisor=1)
     return net, codec
 
 
@@ -55,6 +57,18 @@ class TestFastCodec:
             np.asarray(codec.decode_y_hat(out2, y_shape)),
             np.asarray(out["y_hat"]),
         )
+
+    def test_capped_overflow_fallback(self, setup):
+        """High-entropy input overflows the capped buffer; encode_to_bytes
+        must fall back to the uncapped encoder transparently."""
+        net, _ = setup
+        capped = FastCheckerboardGmmCodec(net, lanes=64, cap_divisor=8)
+        x = jnp.asarray(np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32))
+        data, out = capped.encode_to_bytes(x)
+        y_shape = tuple(out["y_hat"].shape[1:])
+        streams = capped.from_bytes(data, y_shape)
+        y_hat = capped.decode_y_hat(streams, y_shape)
+        np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(out["y_hat"]))
 
     def test_rate_sane(self, setup):
         net, codec = setup
