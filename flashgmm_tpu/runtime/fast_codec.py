@@ -210,33 +210,37 @@ class FastCheckerboardGmmCodec:
         return jnp.clip(m.g_s(y_hat), 0.0, 1.0)
 
     def _decode_y_impl(self, state, ps_z, ps_y0, ps_y1, shape):
-        """shape: static (h, w, c) of y."""
+        """shape: static (h, w, c) of y, or (b, h, w, c) for a batch."""
         m, ckbd, hyper, gmm_lc = self._modules(state)
         eb = hyper.entropy_bottleneck
         w_lanes = self.lanes
         lo = jnp.int32(-(self.max_abs + 1))
         num_bins = 2 * (self.max_abs + 1) + 1
-        h, w, c = shape
+        if len(shape) == 4:
+            b, h, w, c = shape
+        else:
+            h, w, c = shape
+            b = 1
         zh, zw = h // 4, w // 4
 
         # -- z branch
         med = eb._get_medians()[:, 0, 0]
         z_rows, z_off, z_maxbin = self._z_tables(eb)
         c_z = z_rows.shape[0]
-        n_z = zh * zw * c_z
+        n_z = b * zh * zw * c_z
         z_chan = jnp.broadcast_to(
-            jnp.arange(c_z, dtype=jnp.int32), (1, zh, zw, c_z)
+            jnp.arange(c_z, dtype=jnp.int32), (b, zh, zw, c_z)
         ).reshape(-1)
         rows_per_sym = z_rows[z_chan]
         z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), w_lanes)
         z_hat = (
-            z_bin.reshape(1, zh, zw, c_z) + z_off
+            z_bin.reshape(b, zh, zw, c_z) + z_off
         ).astype(jnp.float32) + med
 
         params = hyper.h_s(z_hat)
         side = ckbd.unembed(params)
 
-        y_hat_ = jnp.zeros((2, 1, h, w // 2, c), jnp.float32)
+        y_hat_ = jnp.zeros((2, b, h, w // 2, c), jnp.float32)
         for i, ps in enumerate((ps_y0, ps_y1)):
             ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[i]
             if i == 0:
@@ -245,10 +249,10 @@ class FastCheckerboardGmmCodec:
                 ckbd, gmm_lc, ctx, side[i]
             )
             rows = gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
-            n = h * (w // 2) * c
+            n = b * h * (w // 2) * c
             sym = _decode_pass(ps, rows, n, lo, w_lanes)
             y_hat_ = y_hat_.at[i].set(
-                sym.reshape(1, h, w // 2, c).astype(jnp.float32)
+                sym.reshape(b, h, w // 2, c).astype(jnp.float32)
             )
 
         return ckbd.embed(y_hat_)
@@ -277,11 +281,15 @@ class FastCheckerboardGmmCodec:
         return self._decode_y_jit(self._state, ps_z, ps_y0, ps_y1, y_shape)
 
     def stream_capacities(self, y_shape):
-        """(cap_z, cap_y) capped stream lengths for an image with latent
-        y_shape = (h, w, c)."""
-        h, w, c = y_shape
-        n_y = h * (w // 2) * c
-        n_z = (h // 4) * (w // 4) * self._z_channels()
+        """(cap_z, cap_y) capped stream lengths for latent y_shape =
+        (h, w, c) or (b, h, w, c)."""
+        if len(y_shape) == 4:
+            b, h, w, c = y_shape
+        else:
+            h, w, c = y_shape
+            b = 1
+        n_y = b * h * (w // 2) * c
+        n_z = b * (h // 4) * (w // 4) * self._z_channels()
         t_y, _ = il.layout(n_y, self.lanes)
         t_z, _ = il.layout(n_z, self.lanes)
         cd = self.cap_divisor
@@ -308,8 +316,10 @@ class FastCheckerboardGmmCodec:
             off += self.lanes * 4
             words = np.frombuffer(data, np.uint16, n, off)
             off += n * 2
-            if n > cap:  # overflow file: grow to lane multiple (rare)
-                cap = -(-n // self.lanes) * self.lanes
+            if n > cap:
+                # overflow file: use the single uncapped capacity so decode
+                # shapes stay stable (avoids per-file recompilation)
+                cap = max(cap * self.cap_divisor, -(-n // self.lanes) * self.lanes)
             stream = np.zeros((cap,), np.uint16)
             stream[:n] = words
             # hand numpy straight to the decode jit (implicit async H2D)

@@ -70,6 +70,21 @@ class TestFastCodec:
         y_hat = capped.decode_y_hat(streams, y_shape)
         np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(out["y_hat"]))
 
+    def test_batched_roundtrip(self, setup):
+        """Multi-image batched encode/decode (one stream per pass covering
+        the whole batch)."""
+        net, codec = setup
+        x = jnp.asarray(np.random.RandomState(7).rand(2, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        assert out["y_hat"].shape[0] == 2
+        y_shape = tuple(out["y_hat"].shape)
+        y_hat_dec = codec.decode_y_hat(out, y_shape)
+        np.testing.assert_array_equal(np.asarray(y_hat_dec), np.asarray(out["y_hat"]))
+        data = codec.to_bytes(out)
+        streams = codec.from_bytes(data, y_shape)
+        x_hat = codec.decode(streams, y_shape)
+        assert x_hat.shape == x.shape
+
     def test_rate_sane(self, setup):
         net, codec = setup
         x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32))
