@@ -25,3 +25,6 @@ __all__ += [
     "StackDataset",
     "PreGeneratedMemmapDataset",
 ]
+from .pointcloud import PointCloudFolder, load_point_cloud  # noqa: E402
+
+__all__ += ["PointCloudFolder", "load_point_cloud"]
