@@ -24,6 +24,7 @@ def parse_args(argv):
     p.add_argument("--model", default="cheng2020-anchor-checkerboard-gmm")
     p.add_argument("-d", "--dataset", type=str, required=True)
     p.add_argument("-n", "--num-channels", type=int, default=192)
+    p.add_argument("-m", "--latent-channels", type=int, default=320)
     p.add_argument("-K", "--mixtures", type=int, default=4)
     p.add_argument("-e", "--epochs", type=int, default=200)
     p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
@@ -61,10 +62,18 @@ def main(argv=None):
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     assert args.batch_size % max(n_dev, 1) == 0, "batch must divide devices"
 
+    import inspect
+
     model_cls = MODELS[args.model]
-    model = model_cls(
-        N=args.num_channels, K=args.mixtures, rngs=nnx.Rngs(args.seed)
-    )
+    sig = inspect.signature(model_cls.__init__)
+    kwargs = {}
+    if "N" in sig.parameters:
+        kwargs["N"] = args.num_channels
+    if "M" in sig.parameters:
+        kwargs["M"] = args.latent_channels
+    if "K" in sig.parameters:
+        kwargs["K"] = args.mixtures
+    model = model_cls(**kwargs, rngs=nnx.Rngs(args.seed))
     opt_net, opt_aux = make_train_state(
         model, args.learning_rate, args.aux_learning_rate, args.clip_max_norm
     )

@@ -118,9 +118,18 @@ def gmm_guarded_rows(scales, means, weights, lo, num_bins: int, mode: int = 0):
     with the last boundary forced to 2^16: every bin has pmf >= 1, so no
     bypass escape is ever needed (rate cost ~(num_bins+1)/2^16).
 
+    The encoder and decoder quantize this float CDF in separately-compiled
+    XLA programs; ``optimization_barrier`` fences isolate the computation
+    from surrounding fusion so both programs compile the identical subgraph
+    and produce bit-equal integers (a fused exp that rounds differently on
+    one side would silently desynchronize the rANS state).
+
     Args: scales/means/weights float32 [N, K]; returns int32 [N, num_bins+1].
     """
     L = num_bins + 1
+    scales, means, weights, lo = jax.lax.optimization_barrier(
+        (scales, means, weights, lo)
+    )
     j = jnp.arange(L, dtype=jnp.float32)
     x = (lo.astype(jnp.float32) - 0.5) + j  # [L]
     # x broadcast over symbols: [N, L, 1] against [N, 1, K] params
@@ -134,7 +143,7 @@ def gmm_guarded_rows(scales, means, weights, lo, num_bins: int, mode: int = 0):
     raw = jnp.floor(jnp.clip(cdf, 0.0, 1.0) * (65536 - L)).astype(jnp.int32)
     rows = raw + jnp.arange(L, dtype=jnp.int32)[None, :]
     rows = rows.at[:, -1].set(65536)
-    return rows
+    return jax.lax.optimization_barrier(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "mode"))

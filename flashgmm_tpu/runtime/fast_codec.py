@@ -186,11 +186,21 @@ class FastCheckerboardGmmCodec:
                 jnp.round(y_[i]).astype(jnp.int32), -self.max_abs, self.max_abs
             )
             sym_flat = sym.reshape(-1)
-            start, freq = gmm_guarded_bounds(
-                sym_flat, scales, means, weights, lo, num_bins, self.mode
+            # Select (start, freq) from the SAME rows subgraph the decoder
+            # runs (bit-equal quantized CDFs; see gmm_guarded_rows).
+            rows = gmm_guarded_rows(
+                scales, means, weights, lo, num_bins, self.mode
             )
+            L = num_bins + 1
+            jbin = sym_flat - lo
+            oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
+            start = jnp.sum(rows * oh, axis=1)
+            nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
+            freq = (nxt - start).astype(jnp.uint32)
             streams.append(
-                _encode_pass(sym_flat, start, freq, w_lanes, cap_divisor)
+                _encode_pass(
+                    sym_flat, start.astype(jnp.uint32), freq, w_lanes, cap_divisor
+                )
             )
             y_hat_ = y_hat_.at[i].set(sym.astype(jnp.float32))
 
