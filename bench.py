@@ -41,7 +41,7 @@ def main():
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
     model.update(update_quantiles=True)
-    codec = FastCheckerboardGmmCodec(model, lanes=512, cap_divisor=1)
+    codec = FastCheckerboardGmmCodec(model, lanes=2048, cap_divisor=1)
 
     rs = np.random.RandomState(0)
 

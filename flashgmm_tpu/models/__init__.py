@@ -44,3 +44,6 @@ __all__ += [
     "MeanScaleHyperpriorVbr",
     "ScaleSpaceFlow",
 ]
+from .vbr import JointAutoregressiveHierarchicalPriorsVbr  # noqa: E402
+
+__all__ += ["JointAutoregressiveHierarchicalPriorsVbr"]

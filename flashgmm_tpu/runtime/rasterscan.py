@@ -70,12 +70,17 @@ def build_indexes_np(scales, scale_table, scale_bound):
 
 
 def raster_scan_compress_single_stream(
-    y, params, ctx_conv, ep, gc_tables, scale_table, scale_bound,
+    y, params, ctx_conv, ep, gc_tables, scale_table, scale_bound, vbr=None,
 ):
     """y: [H, W, C] numpy; params: [H, W, P] hyper side-params.
 
     Returns the encoded byte string. The y_hat feedback uses
     ``quantize + means`` exactly like the decoder will reconstruct.
+
+    ``vbr`` (optional) is a dict with keys {scale, rescale, ctx_scl,
+    offset_fn} enabling the gain-scaled VBR path (models/vbr.py: the AR
+    context is additionally conditioned on the quantization scale and
+    symbols are coded in the gain-scaled domain).
     """
     h, w, c = y.shape
     pad = (ctx_conv.k - 1) // 2
@@ -90,11 +95,20 @@ def raster_scan_compress_single_stream(
         for j in range(w):
             window = y_hat[i : i + ctx_conv.k, j : j + ctx_conv.k]
             ctx = ctx_conv(window)
+            if vbr is not None:
+                ctx = ctx + vbr["ctx_scl"]
             gp = ep(np.concatenate([params[i, j], ctx]))
             scales_hat, means_hat = np.split(gp, 2)
-            idx = build_indexes_np(scales_hat, scale_table, scale_bound)
-            y_q = np.round(y[i, j] - means_hat).astype(np.int32)
-            y_hat[i + pad, j + pad] = y_q + means_hat
+            if vbr is None:
+                idx = build_indexes_np(scales_hat, scale_table, scale_bound)
+                y_q = np.round(y[i, j] - means_hat).astype(np.int32)
+                y_hat[i + pad, j + pad] = y_q + means_hat
+            else:
+                s, rs = vbr["scale"], vbr["rescale"]
+                idx = build_indexes_np(scales_hat * s, scale_table, scale_bound)
+                y_q = np.round((y[i, j] - means_hat) * s).astype(np.int32)
+                rec = _vbr_reconstruct(y_q, scales_hat, means_hat, s, rs, vbr)
+                y_hat[i + pad, j + pad] = rec
             symbols[n : n + c] = y_q
             indexes[n : n + c] = idx
             n += c
@@ -103,8 +117,23 @@ def raster_scan_compress_single_stream(
     return enc.encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
 
 
+def _vbr_reconstruct(y_q, scales_hat, means_hat, s, rs, vbr):
+    """Gain-scaled reconstruction with optional quantization offsets."""
+    offset_fn = vbr.get("offset_fn")
+    q = y_q.astype(np.float32)
+    if offset_fn is None:
+        return q * rs + means_hat
+    q_abs = np.abs(q)
+    signs = np.sign(q)
+    q_stdev = np.maximum(scales_hat * s, vbr["scale_bound"])
+    q_off = offset_fn(q_stdev, s)
+    q_off = np.where(q_abs < 1e-4, 0.0, q_off)
+    return signs * (q_abs + q_off) * rs + means_hat
+
+
 def raster_scan_decompress_single_stream(
     string, params, ctx_conv, ep, gc_tables, scale_table, scale_bound, shape,
+    vbr=None,
 ):
     """Returns y_hat [H, W, C] numpy."""
     h, w, c = shape
@@ -118,11 +147,23 @@ def raster_scan_decompress_single_stream(
             for j in range(w):
                 window = y_hat[i : i + ctx_conv.k, j : j + ctx_conv.k]
                 ctx = ctx_conv(window)
+                if vbr is not None:
+                    ctx = ctx + vbr["ctx_scl"]
                 gp = ep(np.concatenate([params[i, j], ctx]))
                 scales_hat, means_hat = np.split(gp, 2)
-                idx = build_indexes_np(scales_hat, scale_table, scale_bound)
-                rv = dec.decode(idx)
-                y_hat[i + pad, j + pad] = rv + means_hat
+                if vbr is None:
+                    idx = build_indexes_np(scales_hat, scale_table, scale_bound)
+                    rv = dec.decode(idx)
+                    y_hat[i + pad, j + pad] = rv + means_hat
+                else:
+                    s, rs = vbr["scale"], vbr["rescale"]
+                    idx = build_indexes_np(
+                        scales_hat * s, scale_table, scale_bound
+                    )
+                    rv = dec.decode(idx)
+                    y_hat[i + pad, j + pad] = _vbr_reconstruct(
+                        rv.astype(np.float32), scales_hat, means_hat, s, rs, vbr
+                    )
     finally:
         dec.close()
     return y_hat[pad : pad + h, pad : pad + w]
