@@ -62,18 +62,20 @@ def main():
     rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
     rec.block_until_ready()
 
+    rec = codec.decode_bytes(data, y_shape)
+    rec.block_until_ready()
     t0 = time.time()
     data, _ = codec.encode_to_bytes(single)
     lat_enc = (time.time() - t0) * 1000
     t0 = time.time()
-    rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
+    rec = codec.decode_bytes(data, y_shape)
     rec.block_until_ready()
     lat_dec = (time.time() - t0) * 1000
 
     # ---- batched path (compile, then steady-state)
     bdata, bout = codec.encode_to_bytes(batches[0])
     by_shape = tuple(bout["y_hat"].shape)
-    brec = codec.decode(codec.from_bytes(bdata, by_shape), by_shape)
+    brec = codec.decode_bytes(bdata, by_shape)
     brec.block_until_ready()
 
     n_images = BATCH * N_BATCHES
@@ -92,9 +94,7 @@ def main():
     enc_ms = (time.time() - t0) / n_images * 1000
 
     t0 = time.time()
-    recs = [
-        codec.decode(codec.from_bytes(d, by_shape), by_shape) for d in datas
-    ]
+    recs = [codec.decode_bytes(d, by_shape) for d in datas]
     jax.block_until_ready(recs)
     dec_ms = (time.time() - t0) / n_images * 1000
 

@@ -338,6 +338,60 @@ class FastCheckerboardGmmCodec:
             )
         return out
 
+    # -- packed single-transfer decode path -----------------------------------
+
+    def _packed_layout(self, y_shape):
+        """Offsets (in u32 words) of each pass inside the packed buffer."""
+        cap_z, cap_y = self.stream_capacities(y_shape)
+        w = self.lanes
+        sizes = [1 + w + cap_z // 2, 1 + w + cap_y // 2, 1 + w + cap_y // 2]
+        offs = [0, sizes[0], sizes[0] + sizes[1]]
+        return offs, sizes, (cap_z, cap_y, cap_y)
+
+    def decode_bytes(self, data: bytes, y_shape):
+        """One host->device transfer: all three pass streams packed into a
+        single uint32 buffer, unpacked on device inside the decode jit."""
+        offs, sizes, caps = self._packed_layout(y_shape)
+        w = self.lanes
+        packed = np.zeros(sum(sizes), np.uint32)
+        off_bytes = 0
+        for slot, cap in zip(offs, caps):
+            n = int(np.frombuffer(data, np.uint32, 1, off_bytes)[0])
+            off_bytes += 4
+            if n > cap:
+                # overflow file: fall back to the unpacked path
+                return self.decode(self.from_bytes(data, y_shape), y_shape)
+            states = np.frombuffer(data, np.uint32, w, off_bytes)
+            off_bytes += w * 4
+            words = np.frombuffer(data, np.uint16, n, off_bytes)
+            off_bytes += n * 2
+            packed[slot] = n
+            packed[slot + 1 : slot + 1 + w] = states
+            u16 = np.zeros(cap, np.uint16)
+            u16[:n] = words
+            packed[slot + 1 + w : slot + 1 + w + cap // 2] = u16.view(np.uint32)
+        return self._decode_packed_jit(self._state, packed, tuple(y_shape))
+
+    @functools.cached_property
+    def _decode_packed_jit(self):
+        def impl(state, packed, y_shape):
+            offs, sizes, caps = self._packed_layout(y_shape)
+            w = self.lanes
+            passes = []
+            for slot, cap in zip(offs, caps):
+                n = packed[slot].astype(jnp.int32)
+                states = packed[slot + 1 : slot + 1 + w]
+                u32s = packed[slot + 1 + w : slot + 1 + w + cap // 2]
+                lo16 = (u32s & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+                hi16 = (u32s >> 16).astype(jnp.uint16)
+                stream = jnp.stack([lo16, hi16], axis=1).reshape(-1)
+                passes.append(PassStream(states, stream, n))
+            m, _, _, _ = self._modules(state)
+            y_hat = self._decode_y_impl(state, *passes, y_shape)
+            return jnp.clip(m.g_s(y_hat), 0.0, 1.0)
+
+        return jax.jit(impl, static_argnums=(2,))
+
     def to_bytes(self, out):
         """Fetch the three streams and pack into a single byte string.
 
