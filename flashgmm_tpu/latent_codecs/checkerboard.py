@@ -112,6 +112,8 @@ class CheckerboardLatentCodec(LatentCodec):
             return self._forward_onepass(y, side_params, training, key)
         if self.forward_method == "twopass":
             return self._forward_twopass(y, side_params, training, key)
+        if self.forward_method == "twopass_faster":
+            return self._forward_twopass_faster(y, side_params, training, key)
         raise ValueError(f"Unknown forward method: {self.forward_method}")
 
     def _quantize_noise(self, y, training, key):
@@ -157,6 +159,31 @@ class CheckerboardLatentCodec(LatentCodec):
             + self._keep_only(params_n, "non_anchor")
         )
         y_out = self.latent_codec["y"](y, params, training=training, key=k2)
+        return {"likelihoods": {"y": y_out["likelihoods"]["y"]}, "y_hat": y_hat}
+
+    def _forward_twopass_faster(self, y, side_params, training, key):
+        """Two EP passes with fewer redundant ops (checkerboard.py:235-267):
+        anchors quantized via STE around first-pass means, then the codec
+        runs once on the combined params."""
+        from flashgmm_tpu.ops import quantize_ste
+
+        y_ctx = jnp.zeros(
+            y.shape[:-1] + (self.context_prediction.out_ch,), y.dtype
+        )
+        params = self.entropy_parameters(self.merge(y_ctx, side_params))
+        params = self._keep_only(params, "anchor")
+        _, means_hat = self.latent_codec["y"]._chunk(params)
+        y_hat_anchors = quantize_ste(y - means_hat) + means_hat
+        y_hat_anchors = self._keep_only(y_hat_anchors, "anchor")
+
+        y_ctx = self.context_prediction(y_hat_anchors)
+        y_ctx = self._keep_only(y_ctx, "non_anchor")
+        params = self.entropy_parameters(self.merge(y_ctx, side_params))
+        y_out = self.latent_codec["y"](y, params, training=training, key=key)
+
+        y_hat = y_out["y_hat"]
+        # keep the anchor pixels from the STE pass
+        y_hat = self._keep_only(y_hat, "non_anchor") + y_hat_anchors
         return {"likelihoods": {"y": y_out["likelihoods"]["y"]}, "y_hat": y_hat}
 
     # -- real coding: two dense passes ---------------------------------------

@@ -48,3 +48,6 @@ __all__ = [
 from .layers import SpectralConv2d, SpectralConvTranspose2d  # noqa: E402
 
 __all__ += ["SpectralConv2d", "SpectralConvTranspose2d"]
+
+from .layers import qrelu  # noqa: E402
+__all__ += ["qrelu"]
