@@ -91,3 +91,24 @@ class TestFastCodec:
         out = codec.encode(x)
         bpp = codec.num_bytes(out) * 8 / (64 * 64)
         assert 0 < bpp < 30  # untrained model, just sanity
+
+
+class TestFastElic:
+    def test_elic_fast_roundtrip(self):
+        from flashgmm_tpu.models.elic_gmm import Elic2022GMM
+        from flashgmm_tpu.runtime import FastElicGmmCodec
+
+        net = Elic2022GMM(N=32, M=64, K=2, groups=[8, 8, 16, 16, 16],
+                          rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        codec = FastElicGmmCodec(net, lanes=64)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+        out = codec.encode(x)
+        assert len(out["streams"]) == 11
+        y_shape = tuple(out["y_hat"].shape[1:])
+        data = codec.to_bytes(out)
+        streams = codec.from_bytes(data, y_shape)
+        y_hat = codec.decode_y_hat(streams, y_shape)
+        np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(out["y_hat"]))
+        x_hat = codec.decode(streams, y_shape)
+        assert x_hat.shape == x.shape
