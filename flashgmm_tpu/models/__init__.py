@@ -47,3 +47,6 @@ __all__ += [
 from .vbr import JointAutoregressiveHierarchicalPriorsVbr  # noqa: E402
 
 __all__ += ["JointAutoregressiveHierarchicalPriorsVbr"]
+from .pointcloud import PointNetReconstructionPccModel  # noqa: E402
+
+__all__ += ["PointNetReconstructionPccModel"]
