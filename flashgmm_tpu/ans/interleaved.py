@@ -32,8 +32,6 @@ Stream format (self-contained per tensor, assembled by the caller):
   per pass: W u32 lane states (decoder init) + n_words u16 words.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

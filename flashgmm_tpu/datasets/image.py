@@ -4,7 +4,6 @@
 the reference; returns numpy [H, W, 3] float32 in [0, 1].
 """
 
-import os
 import random
 from pathlib import Path
 

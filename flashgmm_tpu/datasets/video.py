@@ -7,8 +7,6 @@
 import random
 from pathlib import Path
 
-import numpy as np
-
 from .image import IMG_EXTENSIONS, load_image, random_crop
 
 

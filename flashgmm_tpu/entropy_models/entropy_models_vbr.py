@@ -5,8 +5,6 @@ Adds a quantization-step ``qs`` to quantize/dequantize/update so one model
 serves multiple rates (Kamisli et al., DCC 2024).
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

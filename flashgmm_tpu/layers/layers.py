@@ -7,7 +7,7 @@ construction time.
 """
 
 import math
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ Uneven channel groups x checkerboard spatial context (SCCTX), K-mixture
 GMM conditionals, residual-bottleneck transforms with attention.
 """
 
-import jax
 from flax import nnx
 
 from flashgmm_tpu.entropy_models import EntropyBottleneck

@@ -7,7 +7,6 @@ overlaps automatically from the shardings.
 """
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

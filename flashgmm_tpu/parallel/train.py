@@ -10,8 +10,6 @@ shardings. The net/aux optimizer split follows the reference
 import jax
 import optax
 from flax import nnx
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from flashgmm_tpu.entropy_models.entropy_models import QuantilesParam
 from flashgmm_tpu.losses import rate_distortion_loss
 

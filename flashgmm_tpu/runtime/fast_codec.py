@@ -28,7 +28,6 @@ from flax import nnx
 from flashgmm_tpu.ans import interleaved as il
 from flashgmm_tpu.ans.gaussian_cdf import (
     get_approx_mode,
-    gmm_guarded_bounds,
     gmm_guarded_rows,
 )
 

@@ -7,9 +7,6 @@ and the spatial context of the group's anchors — 10 GMM symbol streams + z,
 all inside one XLA program per direction.
 """
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
