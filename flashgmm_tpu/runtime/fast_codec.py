@@ -153,10 +153,12 @@ class FastCheckerboardGmmCodec:
 
         c_z = z.shape[-1]
         zb = z_bin.reshape(-1)
-        z_chan = jnp.broadcast_to(
-            jnp.arange(c_z, dtype=jnp.int32), z_bin.shape
-        ).reshape(-1)
-        rows_per_sym = z_rows[z_chan]  # [Nz, Lz]
+        n_spatial = zb.shape[0] // c_z
+        # NHWC order: channel == flat index % C, so the per-symbol rows are a
+        # plain tile of the per-channel tables (no gather)
+        rows_per_sym = jnp.broadcast_to(
+            z_rows[None], (n_spatial, c_z, z_rows.shape[1])
+        ).reshape(-1, z_rows.shape[1])  # [Nz, Lz]
         Lz = rows_per_sym.shape[-1]
         oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
         z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
@@ -237,10 +239,9 @@ class FastCheckerboardGmmCodec:
         z_rows, z_off, z_maxbin = self._z_tables(eb)
         c_z = z_rows.shape[0]
         n_z = b * zh * zw * c_z
-        z_chan = jnp.broadcast_to(
-            jnp.arange(c_z, dtype=jnp.int32), (b, zh, zw, c_z)
-        ).reshape(-1)
-        rows_per_sym = z_rows[z_chan]
+        rows_per_sym = jnp.broadcast_to(
+            z_rows[None], (b * zh * zw, c_z, z_rows.shape[1])
+        ).reshape(-1, z_rows.shape[1])
         z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), w_lanes)
         z_hat = (
             z_bin.reshape(b, zh, zw, c_z) + z_off
