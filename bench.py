@@ -23,6 +23,31 @@ import time
 import numpy as np
 
 
+def _load_bench_weights(model):
+    """Load briefly-trained weights (realistic symbol statistics) if
+    present; the codec timing path is identical either way."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "weights/ckbd_gmm_n192_k4_synthetic.npz",
+    )
+    if not os.path.exists(path):
+        return False
+    import jax.numpy as jnp
+    from flax import nnx
+
+    data = np.load(path)
+    state = nnx.state(model, nnx.Param)
+    flat = nnx.to_flat_state(state)
+    for p, v in flat:
+        keyname = "/".join(str(x) for x in p)
+        if keyname in data:
+            v.value = jnp.asarray(data[keyname].astype(np.float32))
+    nnx.update(model, nnx.from_flat_state(flat))
+    return True
+
+
 def main():
     import jax
 
@@ -40,6 +65,7 @@ def main():
     N_BATCHES = 3
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
+    trained = _load_bench_weights(model)
     model.update(update_quantiles=True)
     codec = FastCheckerboardGmmCodec(model, lanes=2048, cap_divisor=1)
 
@@ -105,7 +131,8 @@ def main():
             "kodak 768x512 enc+dec ms/image steady-state (batch=6), ckbd-GMM "
             f"N=192 K=4, full codec on-chip (enc {enc_ms:.1f} + dec {dec_ms:.1f}; "
             f"single-image latency {lat_enc:.0f}+{lat_dec:.0f} ms; "
-            f"{nbytes * 8 / (H * W):.3f} bpp synthetic)"
+            f"{nbytes * 8 / (H * W):.3f} bpp "
+            f"{'trained' if trained else 'random'} weights, synthetic content)"
         ),
         "value": round(total, 2),
         "unit": "ms",
