@@ -61,13 +61,13 @@ def main():
 
     BASELINE_MS = 97.0
     H, W = 768, 512
-    BATCH = 6
-    N_BATCHES = 3
+    BATCH = 12
+    N_BATCHES = 2
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
     trained = _load_bench_weights(model)
     model.update(update_quantiles=True)
-    codec = FastCheckerboardGmmCodec(model, lanes=2048, cap_divisor=1)
+    codec = FastCheckerboardGmmCodec(model, lanes=2048, cap_divisor=4)
 
     rs = np.random.RandomState(0)
 
@@ -128,7 +128,7 @@ def main():
     nbytes = len(datas[0]) / BATCH
     result = {
         "metric": (
-            "kodak 768x512 enc+dec ms/image steady-state (batch=6), ckbd-GMM "
+            f"kodak 768x512 enc+dec ms/image steady-state (batch={BATCH}), ckbd-GMM "
             f"N=192 K=4, full codec on-chip (enc {enc_ms:.1f} + dec {dec_ms:.1f}; "
             f"single-image latency {lat_enc:.0f}+{lat_dec:.0f} ms; "
             f"{nbytes * 8 / (H * W):.3f} bpp "
