@@ -24,7 +24,7 @@ x = make_batch()
 out = data_parallel_train_step(model, opt_net, opt_aux, x, key, 0.01)
 print(f"train step compile: {time.time()-t0:.0f}s loss={float(out['loss']):.2f}", flush=True)
 
-STEPS = 400
+STEPS = 3000
 t0 = time.time()
 for i in range(STEPS):
     key, sub = jax.random.split(key)
