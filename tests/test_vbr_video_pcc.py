@@ -131,3 +131,18 @@ class TestTransforms:
         assert u.shape == (1, 32, 32, 1)
         out = yuv_420_to_444((y, u, v))
         assert out.shape == x.shape
+
+
+class TestPointCloudVariants:
+    @pytest.mark.parametrize("name", ["sfu-pcc-rec-pointnet2", "hrtzxf2022-pcc-rec"])
+    def test_roundtrip(self, name):
+        from flashgmm_tpu.registry import MODELS
+
+        net = MODELS[name](num_points=128, latent_dim=32, rngs=nnx.Rngs(0))
+        pts = jnp.asarray(np.random.RandomState(0).rand(1, 128, 3).astype(np.float32))
+        out = net(pts, training=True, key=jax.random.key(0))
+        assert out["x_hat"].shape == pts.shape
+        net.update(update_quantiles=True)
+        c = net.compress(pts)
+        r = net.decompress(c["strings"], c["shape"])
+        assert r["x_hat"].shape == pts.shape
