@@ -169,9 +169,12 @@ def decode_scan(states, stream, rows, active, lo):
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
 
         chunk = jax.lax.dynamic_slice(stream, (g,), (W,))
-        # distribute chunk[rank[i]] -> lane i via one-hot matmul (MXU)
-        sel = (col_iota == rank[:, None]).astype(jnp.int32)
-        word = jnp.sum(sel * chunk.astype(jnp.int32)[None, :], axis=1)
+        # distribute chunk[rank[i]] -> lane i via one-hot matmul; f32 puts
+        # it on the MXU (u16 words are exact in f32) instead of W^2 VPU ints
+        sel = (col_iota == rank[:, None]).astype(jnp.float32)
+        word = jnp.dot(
+            sel, chunk.astype(jnp.float32), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
 
         x3 = jnp.where(need, (x2 << 16) | word.astype(jnp.uint32), x2)
         x = jnp.where(act, x3, x)
