@@ -61,7 +61,7 @@ def main():
 
     BASELINE_MS = 97.0
     H, W = 768, 512
-    BATCH = 12
+    BATCH = 24
     N_BATCHES = 2
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
