@@ -139,3 +139,32 @@ class TestInterleavedRoundtrip:
         s2, w2, e2 = il.encode_scan(*args)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+class TestPallasDecoder:
+    def test_interpret_mode_matches_scan(self):
+        """Experimental Pallas decoder is bit-identical to the scan decoder
+        (interpreter mode; compiled path is TPU-only)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from flashgmm_tpu.ans.pallas_coder import decode_scan_pallas
+
+        n, w, lo, nb = 1000, 64, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(np.round(rng.normal(0, 3, n)), lo + 1, -lo - 1).astype(np.int32)
+        start, freq = gmm_guarded_bounds(
+            jnp.asarray(values), scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        states, words, emits = il.encode_scan(
+            il.to_lanes(start, w), il.to_lanes(freq, w), il.active_mask(n, t, w)
+        )
+        stream, _ = il.pack_words(words, emits)
+        rows_l = il.to_lanes(
+            gmm_guarded_rows(scales, means, weights, jnp.int32(lo), nb), w
+        )
+        active = il.active_mask(n, t, w)
+        ref = il.decode_scan(states, stream, rows_l, active, jnp.int32(lo))
+        with pltpu.force_tpu_interpret_mode():
+            out = decode_scan_pallas(states, stream, rows_l, active, jnp.int32(lo))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
