@@ -4,9 +4,15 @@ The lax.scan decoder pays XLA while-loop overhead per step; this kernel
 runs the T steps as a sequential Pallas grid (8 steps per grid iteration to
 satisfy TPU tiling and amortize iteration overhead) with the lane states in
 VMEM scratch — grid iterations execute in order on TPU, so scratch carries
-the rANS state. Math is identical to interleaved.decode_scan.
+the rANS state. Math is identical to interleaved.decode_scan and is
+verified bit-exact against it in interpreter mode
+(tests/test_interleaved.py::TestPallasDecoder).
 
-Falls back to the scan implementation off-TPU.
+Status: the Mosaic compiled path is still being brought up on this
+environment's remote-compile tunnel (long kernel compile times; dynamic
+VMEM loads already reworked to aligned 2W windows and prefix sums to
+tri-matmuls for Mosaic). The production decoder remains
+interleaved.decode_scan; this kernel is the round-2 optimization target.
 """
 
 import functools
