@@ -26,7 +26,7 @@ from flashgmm_tpu import (  # noqa: F401
 __version__ = "0.1.0"
 
 _entropy_coder = "rans"
-_available_entropy_coders = ["rans"]
+_available_entropy_coders = ["rans", "rangecoder"]
 
 
 def set_entropy_coder(entropy_coder: str) -> None:

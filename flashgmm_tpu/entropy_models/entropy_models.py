@@ -43,17 +43,37 @@ class QuantilesParam(nnx.Param):
 
 
 class _EntropyCoder:
-    """Proxy to the rANS backend (entropy_models.py:48-82)."""
+    """Proxy to the selected coding backend (entropy_models.py:48-82):
+    "rans" (default; C++/numpy + device rows paths) or "rangecoder"
+    (pure-numpy range coder, table path only)."""
 
-    def __init__(self, method: str = "rans"):
+    def __init__(self, method: str = None):
+        if method is None:
+            import flashgmm_tpu
+
+            method = flashgmm_tpu.get_entropy_coder()
         self.name = method
-        self._encoder = ans.RansEncoder()
-        self._decoder = ans.RansDecoder()
+        if method == "rangecoder":
+            from flashgmm_tpu.ans import range_coder
+
+            self._table = range_coder
+            self._encoder = ans.RansEncoder()  # rows paths stay on rANS
+            self._decoder = ans.RansDecoder()
+        elif method == "rans":
+            self._table = None
+            self._encoder = ans.RansEncoder()
+            self._decoder = ans.RansDecoder()
+        else:
+            raise ValueError(f'Unknown entropy coder "{method}"')
 
     def encode_with_indexes(self, *args):
+        if self._table is not None:
+            return self._table.encode_with_indexes(*args)
         return self._encoder.encode_with_indexes(*args)
 
     def decode_with_indexes(self, *args):
+        if self._table is not None:
+            return self._table.decode_with_indexes(*args)
         return self._decoder.decode_with_indexes(*args)
 
 

@@ -178,3 +178,45 @@ class TestHostGmmPath:
         s = enc.encode_gmm_host(values, scales, means, weights)
         out = dec.decode_gmm_host(s, scales, means, weights, max_bs)
         np.testing.assert_array_equal(out, values)
+
+
+class TestRangeCoderBackend:
+    def test_table_roundtrip(self):
+        from flashgmm_tpu.ans import range_coder as rc
+
+        cdfs, sizes, offsets = _random_cdf_setup()
+        n = 1500
+        indexes = rng.integers(0, cdfs.shape[0], n).astype(np.int32)
+        symbols = np.array(
+            [offsets[i] + rng.integers(-3, sizes[i] + 4) for i in indexes],
+            np.int32,
+        )
+        enc = rc.encode_with_indexes(symbols, indexes, cdfs, sizes, offsets)
+        dec = rc.decode_with_indexes(enc, indexes, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(dec, symbols)
+
+    def test_backend_selection(self):
+        import jax
+        import jax.numpy as jnp
+        from flax import nnx
+
+        import flashgmm_tpu
+        from flashgmm_tpu.entropy_models import EntropyBottleneck
+
+        flashgmm_tpu.set_entropy_coder("rangecoder")
+        try:
+            eb = EntropyBottleneck(4, rngs=nnx.Rngs(0))
+            assert eb.entropy_coder.name == "rangecoder"
+            eb.update(update_quantiles=True)
+            x = jnp.asarray(
+                np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32)
+            )
+            strings = eb.compress(x)
+            x_hat = eb.decompress(strings, (8, 8))
+            medians = eb._get_medians()[:, 0, 0]
+            expected = jnp.round(x - medians) + medians
+            np.testing.assert_allclose(
+                np.asarray(x_hat), np.asarray(expected), atol=1e-5
+            )
+        finally:
+            flashgmm_tpu.set_entropy_coder("rans")
