@@ -86,7 +86,7 @@ class EntropyModel(nnx.Module):
         entropy_coder: Optional[str] = None,
         entropy_coder_precision: int = 16,
     ):
-        self.entropy_coder = _EntropyCoder(entropy_coder or "rans")
+        self.entropy_coder = _EntropyCoder(entropy_coder)
         self.entropy_coder_precision = int(entropy_coder_precision)
         self.likelihood_bound = float(likelihood_bound)
         self.use_likelihood_bound = likelihood_bound > 0
