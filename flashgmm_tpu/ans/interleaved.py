@@ -131,6 +131,39 @@ def pack_words(words, emits):
 # ---------------------------------------------------------------------------
 
 
+def _distribute(chunk, rank, w: int):
+    """word[i] = chunk[rank[i]] (u16 values, exact in f32).
+
+    A plain one-hot matmul is W^2 — at W=2048 that's a 16 MB f32 operand
+    per scan step, which dominates the decode (HBM/VMEM traffic, not
+    FLOPs). Factor rank = q*128 + r and select in two stages: a [W, W/128]
+    one-hot matmul picks each lane's 128-word block (MXU), then a [W, 128]
+    one-hot multiply-reduce picks the word within the block (VPU). Both
+    stages fit comfortably in VMEM at any practical W.
+    """
+    BLK = 128
+    cf = chunk.astype(jnp.float32)
+    if w <= BLK or w % BLK:
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1) == rank[:, None]
+        ).astype(jnp.float32)
+        out = jnp.dot(sel, cf, preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+    nb = w // BLK
+    q = rank // BLK
+    r = rank % BLK
+    sel_q = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, nb), 1) == q[:, None]
+    ).astype(jnp.float32)
+    rowvec = jnp.dot(
+        sel_q, cf.reshape(nb, BLK), preferred_element_type=jnp.float32
+    )  # [W, BLK]
+    sel_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, BLK), 1) == r[:, None]
+    ).astype(jnp.float32)
+    return jnp.sum(rowvec * sel_r, axis=1).astype(jnp.int32)
+
+
 def decode_scan(states, stream, rows, active, lo):
     """Decode T*W symbols with per-symbol guarded CDF rows.
 
@@ -147,8 +180,6 @@ def decode_scan(states, stream, rows, active, lo):
         symbols: int32 [T, W] decoded values (0 where inactive).
     """
     T, W, L = rows.shape
-    # col_iota[i, j] = j, used to build sel[i, j] = (j == rank[i])
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
 
     # pad stream so dynamic_slice never clamps short
     stream = jnp.concatenate([stream, jnp.zeros((W,), jnp.uint16)])
@@ -157,11 +188,13 @@ def decode_scan(states, stream, rows, active, lo):
         x, g = carry
         row, act = inp  # [W, L], [W]
         cf = (x & MASK16).astype(jnp.int32)
-        s = jnp.sum((row <= cf[:, None]).astype(jnp.int32), axis=1) - 1
+        below = row <= cf[:, None]
+        s = jnp.sum(below.astype(jnp.int32), axis=1) - 1
         s = jnp.clip(s, 0, L - 2)
-        oh = jax.nn.one_hot(s, L, dtype=jnp.int32)
-        start = jnp.sum(row * oh, axis=1)
-        nxt = jnp.sum(row * jax.nn.one_hot(s + 1, L, dtype=jnp.int32), axis=1)
+        # rows are strictly monotone, so row[s] / row[s+1] are the masked
+        # max/min — three fused row passes, no one-hot temporaries
+        start = jnp.max(jnp.where(below, row, 0), axis=1)
+        nxt = jnp.min(jnp.where(below, 65536, row), axis=1)
         freq = (nxt - start).astype(jnp.uint32)
 
         x2 = freq * (x >> 16) + cf.astype(jnp.uint32) - start.astype(jnp.uint32)
@@ -169,12 +202,7 @@ def decode_scan(states, stream, rows, active, lo):
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
 
         chunk = jax.lax.dynamic_slice(stream, (g,), (W,))
-        # distribute chunk[rank[i]] -> lane i via one-hot matmul; f32 puts
-        # it on the MXU (u16 words are exact in f32) instead of W^2 VPU ints
-        sel = (col_iota == rank[:, None]).astype(jnp.float32)
-        word = jnp.dot(
-            sel, chunk.astype(jnp.float32), preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        word = _distribute(chunk, rank, W)
 
         x3 = jnp.where(need, (x2 << 16) | word.astype(jnp.uint32), x2)
         x = jnp.where(act, x3, x)

@@ -52,7 +52,8 @@ class GDN(nnx.Module):
         else:
             norm = jax.lax.rsqrt(norm)
 
-        return x * norm
+        # accumulate in f32 (preferred_element_type), compute in x.dtype
+        return x * norm.astype(x.dtype)
 
 
 class GDN1(GDN):
@@ -68,4 +69,4 @@ class GDN1(GDN):
         if not self.inverse:
             norm = 1.0 / norm
 
-        return x * norm
+        return x * norm.astype(x.dtype)

@@ -43,6 +43,23 @@ class PassStream(NamedTuple):
     n_words: jnp.ndarray  # int32 scalar
 
 
+def apply_transform(mod, x, bf16: bool):
+    """Run an analysis/synthesis transform (g_a / h_a / g_s), optionally in
+    bfloat16. Safe for any transform that does NOT need bit-equality across
+    the encode and decode programs (the entropy-parameter path from z_hat
+    onward must stay fenced f32 — see FastCheckerboardGmmCodec._gmm_pass_params)."""
+    if not bf16:
+        return mod(x)
+    gd, st = nnx.split(mod)
+    st = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32
+        else v,
+        st,
+    )
+    return nnx.merge(gd, st)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+
 def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4):
     """Encode one symbol stream; the returned buffer is statically capped at
     ``T*W // cap_divisor`` words (~16/cap_divisor bits/symbol) to shrink the
@@ -71,24 +88,44 @@ def _decode_pass(ps: PassStream, rows, n: int, lo, w: int):
 
 
 class FastCheckerboardGmmCodec:
-    """Jitted encode/decode around a Cheng2020AnchorCheckerboardGMMv2."""
+    """Composable-jit encode/decode around a Cheng2020AnchorCheckerboardGMMv2.
+
+    Correctness-by-construction design: encoding and decoding are SEPARATE
+    XLA programs, but every float computation whose result must be
+    bit-identical on both sides (z_hat -> h_s -> context -> entropy
+    parameters -> quantized GMM CDF rows) runs in a SHARED jitted
+    sub-program (`_side_jit`, `_rows0_jit`, `_rows1_jit`) that both
+    directions invoke — the same compiled executable trivially produces the
+    same bits, with no reliance on cross-program compiler determinism
+    (optimization_barrier fencing proved insufficient: layout/fusion
+    context still perturbed conv results at the ULP level and desynced the
+    rANS streams).  The analysis/synthesis transforms (bf16) and the rANS
+    scan passes live in their own programs around those.  All intermediates
+    stay on device; dispatch overhead is ~0.3 ms per program, amortized
+    over the batch.
+    """
 
     def __init__(self, model, lanes: int = 128, max_abs: int = 47,
-                 cap_divisor: int = 4):
+                 cap_divisor: int = 4, bf16_transforms: bool = True):
         self.lanes = int(lanes)
         self.max_abs = int(max_abs)  # symbols clamped to [-max_abs, max_abs]
         self.cap_divisor = int(cap_divisor)
+        # g_a/h_a/g_s run in bfloat16 on the MXU: they never need
+        # bit-equality across programs (their outputs are quantized or are
+        # final pixels). ~2x on the conv FLOPs.
+        self.bf16_transforms = bool(bf16_transforms)
         self.mode = get_approx_mode()
         self._graphdef, self._state = nnx.split(model)
 
-        self._encode_jit = jax.jit(
-            functools.partial(self._encode_impl, cap_divisor=self.cap_divisor)
-        )
-        self._encode_full_jit = jax.jit(
-            functools.partial(self._encode_impl, cap_divisor=1)
-        )
-        self._decode_jit = jax.jit(self._decode_impl, static_argnums=(4,))
-        self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(4,))
+        self._analyze_jit = jax.jit(self._analyze_impl, static_argnums=(2,))
+        self._side_jit = jax.jit(self._side_impl)
+        self._rows0_jit = jax.jit(self._rows0_impl)
+        self._rows1_jit = jax.jit(self._rows1_impl)
+        self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
+        self._decpass_jit = jax.jit(self._decpass_impl)
+        self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
+        self._embed_jit = jax.jit(self._embed_impl)
+        self._gs_jit = jax.jit(self._gs_impl)
 
     # -- shared pieces -------------------------------------------------------
 
@@ -98,6 +135,10 @@ class FastCheckerboardGmmCodec:
         hyper = m.latent_codec["hyper"]
         gmm_lc = ckbd.latent_codec["y"]
         return m, ckbd, hyper, gmm_lc
+
+    def _transform(self, mod, x):
+        """Apply an analysis/synthesis transform, in bf16 when enabled."""
+        return apply_transform(mod, x, self.bf16_transforms)
 
     def _z_tables(self, eb):
         """(rows [C, L] int32, offsets [C], max_bin [C]) from EB buffers."""
@@ -109,6 +150,14 @@ class FastCheckerboardGmmCodec:
         offsets = eb.offset.astype(jnp.int32)
         max_bin = lengths - 2  # last valid bin index
         return rows, offsets, max_bin
+
+    def _z_rows_per_sym(self, z_rows, n_spatial):
+        """NHWC order: channel == flat index % C, so per-symbol rows are a
+        plain tile of the per-channel tables (no gather)."""
+        c_z = z_rows.shape[0]
+        return jnp.broadcast_to(
+            z_rows[None], (n_spatial, c_z, z_rows.shape[1])
+        ).reshape(-1, z_rows.shape[1])
 
     def _gmm_pass_params(self, ckbd, gmm_lc, y_ctx, side):
         """EP -> per-symbol [N, K] (scales, means, weights), NHWC-ravel
@@ -132,33 +181,29 @@ class FastCheckerboardGmmCodec:
             flat(weights),
         )
 
-    # -- encode --------------------------------------------------------------
-
-    def _encode_impl(self, state, x, cap_divisor: int = 4):
-        m, ckbd, hyper, gmm_lc = self._modules(state)
-        eb = hyper.entropy_bottleneck
-        w_lanes = self.lanes
+    def _lo_bins(self):
         lo = jnp.int32(-(self.max_abs + 1))
         num_bins = 2 * (self.max_abs + 1) + 1
+        return lo, num_bins
 
-        y = m.g_a(x)
-        z = hyper.h_a(y)
+    # -- jitted stages ---------------------------------------------------------
 
-        # -- z branch (table-coded, clamped into range)
+    def _analyze_impl(self, state, x, cap_divisor):
+        """Encoder-only: transforms + quantization + the z table pass."""
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        eb = hyper.entropy_bottleneck
+
+        y = self._transform(m.g_a, x)
+        z = self._transform(hyper.h_a, y)
+
         med = eb._get_medians()[:, 0, 0]
         z_rows, z_off, z_maxbin = self._z_tables(eb)
-        z_bin_raw = jnp.round(z - med).astype(jnp.int32) - z_off
-        z_bin = jnp.clip(z_bin_raw, 0, z_maxbin)
-        z_hat = (z_bin + z_off).astype(jnp.float32) + med
+        z_bin = jnp.clip(
+            jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin
+        )
 
-        c_z = z.shape[-1]
         zb = z_bin.reshape(-1)
-        n_spatial = zb.shape[0] // c_z
-        # NHWC order: channel == flat index % C, so the per-symbol rows are a
-        # plain tile of the per-channel tables (no gather)
-        rows_per_sym = jnp.broadcast_to(
-            z_rows[None], (n_spatial, c_z, z_rows.shape[1])
-        ).reshape(-1, z_rows.shape[1])  # [Nz, Lz]
+        rows_per_sym = self._z_rows_per_sym(z_rows, zb.shape[0] // z.shape[-1])
         Lz = rows_per_sym.shape[-1]
         oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
         z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
@@ -167,137 +212,133 @@ class FastCheckerboardGmmCodec:
         )
         z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
         # z is ~10% of the payload; not worth the overflow risk of capping
-        ps_z = _encode_pass(zb + 0, z_start, z_freq, w_lanes, 1)
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
 
-        # -- hyper params + checkerboard passes
-        params = hyper.h_s(z_hat)
-        side = ckbd.unembed(params)
         y_ = ckbd.unembed(y)
+        sym = jnp.clip(
+            jnp.round(y_).astype(jnp.int32), -self.max_abs, self.max_abs
+        )  # [2, b, h, w/2, c]
+        y_hat = ckbd.embed(sym.astype(jnp.float32))
+        return ps_z, z_bin, sym[0], sym[1], y_hat
 
-        streams = []
-        y_hat_ = jnp.zeros_like(y_)
-        for i in range(2):
-            ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[i]
-            if i == 0:
-                ctx = jnp.zeros_like(ctx)
-            scales, means, weights = self._gmm_pass_params(
-                ckbd, gmm_lc, ctx, side[i]
-            )
-            sym = jnp.clip(
-                jnp.round(y_[i]).astype(jnp.int32), -self.max_abs, self.max_abs
-            )
-            sym_flat = sym.reshape(-1)
-            # Select (start, freq) from the SAME rows subgraph the decoder
-            # runs (bit-equal quantized CDFs; see gmm_guarded_rows).
-            rows = gmm_guarded_rows(
-                scales, means, weights, lo, num_bins, self.mode
-            )
-            L = num_bins + 1
-            jbin = sym_flat - lo
-            oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
-            start = jnp.sum(rows * oh, axis=1)
-            nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
-            freq = (nxt - start).astype(jnp.uint32)
-            streams.append(
-                _encode_pass(
-                    sym_flat, start.astype(jnp.uint32), freq, w_lanes, cap_divisor
-                )
-            )
-            y_hat_ = y_hat_.at[i].set(sym.astype(jnp.float32))
-
-        y_hat = ckbd.embed(y_hat_)
-        return {
-            "z": ps_z,
-            "y0": streams[0],
-            "y1": streams[1],
-            "y_hat": y_hat,
-        }
-
-    # -- decode --------------------------------------------------------------
-
-    def _decode_impl(self, state, ps_z, ps_y0, ps_y1, shape):
-        m, _, _, _ = self._modules(state)
-        y_hat = self._decode_y_impl(state, ps_z, ps_y0, ps_y1, shape)
-        return jnp.clip(m.g_s(y_hat), 0.0, 1.0)
-
-    def _decode_y_impl(self, state, ps_z, ps_y0, ps_y1, shape):
-        """shape: static (h, w, c) of y, or (b, h, w, c) for a batch."""
+    def _side_impl(self, state, z_bin):
+        """SHARED enc/dec: dequantize z and run h_s. Same executable on both
+        sides -> bit-identical side params by construction."""
         m, ckbd, hyper, gmm_lc = self._modules(state)
         eb = hyper.entropy_bottleneck
-        w_lanes = self.lanes
-        lo = jnp.int32(-(self.max_abs + 1))
-        num_bins = 2 * (self.max_abs + 1) + 1
-        if len(shape) == 4:
-            b, h, w, c = shape
-        else:
-            h, w, c = shape
-            b = 1
-        zh, zw = h // 4, w // 4
-
-        # -- z branch
         med = eb._get_medians()[:, 0, 0]
+        z_off = eb.offset.astype(jnp.int32)
+        z_hat = (z_bin + z_off).astype(jnp.float32) + med
+        return ckbd.unembed(hyper.h_s(z_hat))
+
+    def _rows0_impl(self, state, side0):
+        """SHARED enc/dec: anchor-pass GMM rows (context is zero)."""
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        lo, num_bins = self._lo_bins()
+        b, h, w2, c2 = side0.shape
+        ctx = jnp.zeros_like(side0)
+        scales, means, weights = self._gmm_pass_params(ckbd, gmm_lc, ctx, side0)
+        return gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
+
+    def _rows1_impl(self, state, side1, sym0):
+        """SHARED enc/dec: non-anchor-pass GMM rows conditioned on decoded
+        anchors (integer symbols -> deterministic input)."""
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        lo, num_bins = self._lo_bins()
+        y_hat_ = jnp.stack([sym0.astype(jnp.float32), jnp.zeros_like(sym0, jnp.float32)])
+        ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
+        scales, means, weights = self._gmm_pass_params(ckbd, gmm_lc, ctx, side1)
+        return gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
+
+    def _encpass_impl(self, rows, sym_flat, cap_divisor):
+        """Encoder: select (start, freq) from the shared rows and run the
+        interleaved encode scan."""
+        lo, num_bins = self._lo_bins()
+        L = num_bins + 1
+        jbin = sym_flat - lo
+        oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
+        start = jnp.sum(rows * oh, axis=1)
+        nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
+        freq = (nxt - start).astype(jnp.uint32)
+        return _encode_pass(
+            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor
+        )
+
+    def _decpass_impl(self, rows, ps):
+        lo, _ = self._lo_bins()
+        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes)
+
+    def _zdec_impl(self, state, ps_z, zshape):
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        eb = hyper.entropy_bottleneck
         z_rows, z_off, z_maxbin = self._z_tables(eb)
-        c_z = z_rows.shape[0]
+        b, zh, zw, c_z = zshape
         n_z = b * zh * zw * c_z
-        rows_per_sym = jnp.broadcast_to(
-            z_rows[None], (b * zh * zw, c_z, z_rows.shape[1])
-        ).reshape(-1, z_rows.shape[1])
-        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), w_lanes)
-        z_hat = (
-            z_bin.reshape(b, zh, zw, c_z) + z_off
-        ).astype(jnp.float32) + med
+        rows_per_sym = self._z_rows_per_sym(z_rows, b * zh * zw)
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        return z_bin.reshape(b, zh, zw, c_z)
 
-        params = hyper.h_s(z_hat)
-        side = ckbd.unembed(params)
+    def _embed_impl(self, state, sym0, sym1):
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        return ckbd.embed(
+            jnp.stack([sym0, sym1]).astype(jnp.float32)
+        )
 
-        y_hat_ = jnp.zeros((2, b, h, w // 2, c), jnp.float32)
-        for i, ps in enumerate((ps_y0, ps_y1)):
-            ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[i]
-            if i == 0:
-                ctx = jnp.zeros_like(ctx)
-            scales, means, weights = self._gmm_pass_params(
-                ckbd, gmm_lc, ctx, side[i]
-            )
-            rows = gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
-            n = b * h * (w // 2) * c
-            sym = _decode_pass(ps, rows, n, lo, w_lanes)
-            y_hat_ = y_hat_.at[i].set(
-                sym.reshape(b, h, w // 2, c).astype(jnp.float32)
-            )
+    def _gs_impl(self, state, y_hat):
+        m, _, _, _ = self._modules(state)
+        return jnp.clip(self._transform(m.g_s, y_hat), 0.0, 1.0)
 
-        return ckbd.embed(y_hat_)
-
-    # -- public API ----------------------------------------------------------
+    # -- orchestration ---------------------------------------------------------
 
     def encode(self, x, full: bool = False):
         """Returns device-side dict; call ``to_bytes`` for serialization.
 
         ``full=True`` disables the stream cap (used as the overflow
         fallback for pathological inputs)."""
-        if full:
-            return self._encode_full_jit(self._state, x)
-        return self._encode_jit(self._state, x)
+        cd = 1 if full else self.cap_divisor
+        ps_z, z_bin, sym0, sym1, y_hat = self._analyze_jit(self._state, x, cd)
+        side = self._side_jit(self._state, z_bin)
+        rows0 = self._rows0_jit(self._state, side[0])
+        ps0 = self._encpass_jit(rows0, sym0.reshape(-1), cd)
+        rows1 = self._rows1_jit(self._state, side[1], sym0)
+        ps1 = self._encpass_jit(rows1, sym1.reshape(-1), cd)
+        return {"z": ps_z, "y0": ps0, "y1": ps1, "y_hat": y_hat}
 
-    def decode(self, out_or_streams, y_shape):
-        ps_z, ps_y0, ps_y1 = (
-            out_or_streams["z"], out_or_streams["y0"], out_or_streams["y1"]
-        )
-        return self._decode_jit(self._state, ps_z, ps_y0, ps_y1, y_shape)
-
-    def decode_y_hat(self, out_or_streams, y_shape):
-        ps_z, ps_y0, ps_y1 = (
-            out_or_streams["z"], out_or_streams["y0"], out_or_streams["y1"]
-        )
-        return self._decode_y_jit(self._state, ps_z, ps_y0, ps_y1, y_shape)
-
-    def stream_capacities(self, y_shape):
-        """(cap_z, cap_y) capped stream lengths for latent y_shape =
-        (h, w, c) or (b, h, w, c)."""
+    def _y_shape_parts(self, y_shape):
         if len(y_shape) == 4:
             b, h, w, c = y_shape
         else:
             h, w, c = y_shape
             b = 1
+        return b, h, w, c
+
+    def _decode_y(self, streams, y_shape):
+        ps_z, ps0, ps1 = streams["z"], streams["y0"], streams["y1"]
+        b, h, w, c = self._y_shape_parts(y_shape)
+        z_bin = self._zdec_jit(
+            self._state, ps_z, (b, h // 4, w // 4, self._z_channels())
+        )
+        side = self._side_jit(self._state, z_bin)
+        rows0 = self._rows0_jit(self._state, side[0])
+        sym0 = self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c)
+        rows1 = self._rows1_jit(self._state, side[1], sym0)
+        sym1 = self._decpass_jit(rows1, ps1).reshape(b, h, w // 2, c)
+        y_hat = self._embed_jit(self._state, sym0, sym1)
+        if len(y_shape) == 3:
+            pass  # batch dim of 1 is kept (matches encoder output)
+        return y_hat
+
+    def decode(self, out_or_streams, y_shape):
+        y_hat = self._decode_y(out_or_streams, y_shape)
+        return self._gs_jit(self._state, y_hat)
+
+    def decode_y_hat(self, out_or_streams, y_shape):
+        return self._decode_y(out_or_streams, y_shape)
+
+    def stream_capacities(self, y_shape):
+        """(cap_z, cap_y) capped stream lengths for latent y_shape =
+        (h, w, c) or (b, h, w, c)."""
+        b, h, w, c = self._y_shape_parts(y_shape)
         n_y = b * h * (w // 2) * c
         n_z = b * (h // 4) * (w // 4) * self._z_channels()
         t_y, _ = il.layout(n_y, self.lanes)
@@ -350,7 +391,7 @@ class FastCheckerboardGmmCodec:
 
     def decode_bytes(self, data: bytes, y_shape):
         """One host->device transfer: all three pass streams packed into a
-        single uint32 buffer, unpacked on device inside the decode jit."""
+        single uint32 buffer, unpacked on device."""
         offs, sizes, caps = self._packed_layout(y_shape)
         w = self.lanes
         packed = np.zeros(sum(sizes), np.uint32)
@@ -370,11 +411,15 @@ class FastCheckerboardGmmCodec:
             u16 = np.zeros(cap, np.uint16)
             u16[:n] = words
             packed[slot + 1 + w : slot + 1 + w + cap // 2] = u16.view(np.uint32)
-        return self._decode_packed_jit(self._state, packed, tuple(y_shape))
+        streams = self._unpack_jit(packed, tuple(y_shape))
+        y_hat = self._decode_y(
+            dict(zip(("z", "y0", "y1"), streams)), y_shape
+        )
+        return self._gs_jit(self._state, y_hat)
 
     @functools.cached_property
-    def _decode_packed_jit(self):
-        def impl(state, packed, y_shape):
+    def _unpack_jit(self):
+        def impl(packed, y_shape):
             offs, sizes, caps = self._packed_layout(y_shape)
             w = self.lanes
             passes = []
@@ -386,11 +431,9 @@ class FastCheckerboardGmmCodec:
                 hi16 = (u32s >> 16).astype(jnp.uint16)
                 stream = jnp.stack([lo16, hi16], axis=1).reshape(-1)
                 passes.append(PassStream(states, stream, n))
-            m, _, _, _ = self._modules(state)
-            y_hat = self._decode_y_impl(state, *passes, y_shape)
-            return jnp.clip(m.g_s(y_hat), 0.0, 1.0)
+            return tuple(passes)
 
-        return jax.jit(impl, static_argnums=(2,))
+        return jax.jit(impl, static_argnums=(1,))
 
     def to_bytes(self, out):
         """Fetch the three streams and pack into a single byte string.

@@ -1,10 +1,13 @@
-"""Single-jit on-device codec for Elic2022GMM (SCCTX).
+"""Composable-jit on-device codec for Elic2022GMM (SCCTX).
 
-Same design as FastCheckerboardGmmCodec but over the ELIC structure:
-5 uneven channel groups, each coded in 2 checkerboard passes conditioned on
-the hyper side-params, the channel context of previously decoded groups,
-and the spatial context of the group's anchors — 10 GMM symbol streams + z,
-all inside one XLA program per direction.
+Same correctness-by-construction design as FastCheckerboardGmmCodec: the
+encode and decode pipelines invoke SHARED jitted sub-programs for every
+float computation whose result must be bit-identical on both sides
+(h_s side params, per-group channel-context + aggregation, per-pass
+spatial context + entropy parameters -> quantized GMM CDF rows), so
+bit-equality holds because both directions literally run the same
+compiled executable.  The ELIC structure: 5 uneven channel groups, each
+coded in 2 checkerboard passes -> 10 GMM symbol streams + z.
 """
 
 import jax
@@ -15,22 +18,35 @@ from flax import nnx
 from flashgmm_tpu.ans import interleaved as il
 from flashgmm_tpu.ans.gaussian_cdf import get_approx_mode, gmm_guarded_rows
 
-from .fast_codec import PassStream, StreamOverflow, _decode_pass, _encode_pass
+from .fast_codec import (
+    PassStream,
+    StreamOverflow,
+    _decode_pass,
+    _encode_pass,
+    apply_transform,
+)
 
 
 class FastElicGmmCodec:
     def __init__(self, model, lanes: int = 512, max_abs: int = 47,
-                 cap_divisor: int = 1):
+                 cap_divisor: int = 1, bf16_transforms: bool = True):
         self.lanes = int(lanes)
         self.max_abs = int(max_abs)
         self.cap_divisor = int(cap_divisor)
+        self.bf16_transforms = bool(bf16_transforms)
         self.mode = get_approx_mode()
         self.groups = list(model.groups)
         self._graphdef, self._state = nnx.split(model)
 
-        self._encode_jit = jax.jit(self._encode_impl)
-        self._decode_jit = jax.jit(self._decode_impl, static_argnums=(2,))
-        self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(2,))
+        self._analyze_jit = jax.jit(self._analyze_impl, static_argnums=(2,))
+        self._side_jit = jax.jit(self._side_impl)
+        # k is static: selects the per-group modules
+        self._ctxparams_jit = jax.jit(self._ctxparams_impl, static_argnums=(3,))
+        self._rows_jit = jax.jit(self._rows_impl, static_argnums=(4, 5))
+        self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
+        self._decpass_jit = jax.jit(self._decpass_impl)
+        self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
+        self._gs_jit = jax.jit(self._gs_impl)
 
     # -- plumbing --------------------------------------------------------------
 
@@ -64,33 +80,31 @@ class FastElicGmmCodec:
             jnp.clip(flat(scales), 0.11, 256.0), flat(means), flat(weights)
         )
 
-    def _group_rows(self, ckbd, gmm_lc, y_ctx, side, lo, num_bins):
-        scales, means, weights = self._pass_params(ckbd, gmm_lc, y_ctx, side)
-        return gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
-
-    # -- encode ----------------------------------------------------------------
-
-    def _encode_impl(self, state, x):
-        m, cg, hyper = self._modules(state)
-        eb = hyper.entropy_bottleneck
-        w_lanes = self.lanes
+    def _lo_bins(self):
         lo = jnp.int32(-(self.max_abs + 1))
         num_bins = 2 * (self.max_abs + 1) + 1
-        L = num_bins + 1
+        return lo, num_bins
 
-        y = m.g_a(x)
-        z = hyper.h_a(y)
+    # -- jitted stages -----------------------------------------------------------
+
+    def _analyze_impl(self, state, x, cap_divisor):
+        """Encoder-only: transforms, quantization, and the z table pass.
+
+        Returns (ps_z, z_bin, syms) with syms a flat tuple of per-group
+        per-pass int32 symbol tensors [b, h, w/2, gk] in coding order."""
+        m, cg, hyper = self._modules(state)
+        eb = hyper.entropy_bottleneck
+
+        y = apply_transform(m.g_a, x, self.bf16_transforms)
+        z = apply_transform(hyper.h_a, y, self.bf16_transforms)
 
         med = eb._get_medians()[:, 0, 0]
         z_rows, z_off, z_maxbin = self._z_tables(eb)
         z_bin = jnp.clip(jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin)
-        z_hat = (z_bin + z_off).astype(jnp.float32) + med
 
         c_z = z.shape[-1]
         zb = z_bin.reshape(-1)
         n_spatial = zb.shape[0] // c_z
-        # NHWC order: channel == flat index % C, so the per-symbol rows are a
-        # plain tile of the per-channel tables (no gather)
         rows_per_sym = jnp.broadcast_to(
             z_rows[None], (n_spatial, c_z, z_rows.shape[1])
         ).reshape(-1, z_rows.shape[1])
@@ -101,115 +115,170 @@ class FastElicGmmCodec:
             rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
         )
         z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
-        streams = [_encode_pass(zb, z_start, z_freq, w_lanes, 1)]
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
 
-        side_all = hyper.h_s(z_hat)
-        y_groups = cg._split(y)
-
-        y_hat_groups = []
-        for k in range(len(self.groups)):
+        syms = []
+        for k, yk in enumerate(cg._split(y)):
             ckbd = cg.latent_codec[f"y{k}"]
-            gmm_lc = ckbd.latent_codec["y"]
-            params_k = cg._get_ctx_params(k, side_all, y_hat_groups)
-            side = ckbd.unembed(params_k)
-            y_ = ckbd.unembed(y_groups[k])
-            y_hat_ = jnp.zeros_like(y_)
-            for i in range(2):
-                ctx = ckbd.unembed(
-                    ckbd.context_prediction(ckbd.embed(y_hat_))
-                )[i]
-                if i == 0:
-                    ctx = jnp.zeros_like(ctx)
-                rows = self._group_rows(ckbd, gmm_lc, ctx, side[i], lo, num_bins)
-                sym = jnp.clip(
-                    jnp.round(y_[i]).astype(jnp.int32),
-                    -self.max_abs, self.max_abs,
-                )
-                sym_flat = sym.reshape(-1)
-                jbin = sym_flat - lo
-                ohb = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
-                start = jnp.sum(rows * ohb, axis=1).astype(jnp.uint32)
-                nxt = jnp.sum(
-                    rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1
-                )
-                freq = (nxt - start.astype(jnp.int32)).astype(jnp.uint32)
-                streams.append(
-                    _encode_pass(sym_flat, start, freq, w_lanes,
-                                 self.cap_divisor)
-                )
-                y_hat_ = y_hat_.at[i].set(sym.astype(jnp.float32))
-            y_hat_groups.append(ckbd.embed(y_hat_))
+            y_ = ckbd.unembed(yk)
+            sym = jnp.clip(
+                jnp.round(y_).astype(jnp.int32), -self.max_abs, self.max_abs
+            )  # [2, b, h, w/2, gk]
+            syms += [sym[0], sym[1]]
+        return ps_z, z_bin, tuple(syms)
 
-        y_hat = jnp.concatenate(y_hat_groups, axis=-1)
-        return {"streams": streams, "y_hat": y_hat}
-
-    # -- decode ----------------------------------------------------------------
-
-    def _decode_y_impl(self, state, streams, shape):
+    def _side_impl(self, state, z_bin):
+        """SHARED enc/dec: z_hat -> h_s (bit-identical by construction)."""
         m, cg, hyper = self._modules(state)
         eb = hyper.entropy_bottleneck
-        w_lanes = self.lanes
-        lo = jnp.int32(-(self.max_abs + 1))
-        num_bins = 2 * (self.max_abs + 1) + 1
+        med = eb._get_medians()[:, 0, 0]
+        z_off = eb.offset.astype(jnp.int32)
+        z_hat = (z_bin + z_off).astype(jnp.float32) + med
+        return hyper.h_s(z_hat)
+
+    def _embed_group(self, cg, k, sym0, sym1):
+        """Integer symbols -> embedded group tensor (pure data movement,
+        bit-exact in any program)."""
+        ckbd = cg.latent_codec[f"y{k}"]
+        return ckbd.embed(jnp.stack([sym0, sym1]).astype(jnp.float32))
+
+    def _ctxparams_impl(self, state, side_all, prev_syms, k):
+        """SHARED enc/dec: channel context of groups < k + aggregation.
+
+        prev_syms: flat tuple (sym0_0, sym1_0, ..., sym0_{k-1}, sym1_{k-1})."""
+        m, cg, hyper = self._modules(state)
+        y_hat_prev = [
+            self._embed_group(cg, j, prev_syms[2 * j], prev_syms[2 * j + 1])
+            for j in range(k)
+        ]
+        return cg._get_ctx_params(k, side_all, y_hat_prev)
+
+    def _rows_impl(self, state, params_k, sym0, k, i):
+        """SHARED enc/dec: spatial context + EP -> guarded GMM rows for
+        pass i of group k. sym0 is ignored for i == 0 (zero context)."""
+        m, cg, hyper = self._modules(state)
+        ckbd = cg.latent_codec[f"y{k}"]
+        gmm_lc = ckbd.latent_codec["y"]
+        lo, num_bins = self._lo_bins()
+        side = ckbd.unembed(params_k)
+        if i == 0:
+            # zero context tensor, shaped to the context conv's output width
+            ctx = jnp.zeros(
+                side[0].shape[:-1] + (ckbd.context_prediction.out_ch,),
+                jnp.float32,
+            )
+        else:
+            y_hat_ = jnp.stack(
+                [sym0.astype(jnp.float32), jnp.zeros_like(sym0, jnp.float32)]
+            )
+            ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
+        scales, means, weights = self._pass_params(ckbd, gmm_lc, ctx, side[i])
+        return gmm_guarded_rows(scales, means, weights, lo, num_bins, self.mode)
+
+    def _encpass_impl(self, rows, sym_flat, cap_divisor):
+        lo, num_bins = self._lo_bins()
+        L = num_bins + 1
+        jbin = sym_flat - lo
+        oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
+        start = jnp.sum(rows * oh, axis=1)
+        nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
+        freq = (nxt - start).astype(jnp.uint32)
+        return _encode_pass(
+            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor
+        )
+
+    def _decpass_impl(self, rows, ps):
+        lo, _ = self._lo_bins()
+        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes)
+
+    def _zdec_impl(self, state, ps_z, zshape):
+        m, cg, hyper = self._modules(state)
+        eb = hyper.entropy_bottleneck
+        z_rows, z_off, z_maxbin = self._z_tables(eb)
+        b, zh, zw, c_z = zshape
+        n_z = b * zh * zw * c_z
+        rows_per_sym = jnp.broadcast_to(
+            z_rows[None], (b * zh * zw, c_z, z_rows.shape[1])
+        ).reshape(-1, z_rows.shape[1])
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        return z_bin.reshape(b, zh, zw, c_z)
+
+    def _gs_impl(self, state, y_hat):
+        m, _, _ = self._modules(state)
+        return jnp.clip(
+            apply_transform(m.g_s, y_hat, self.bf16_transforms), 0.0, 1.0
+        )
+
+    @property
+    def _embed_full_jit(self):
+        if not hasattr(self, "_embed_full_cache"):
+            def impl(state, syms):
+                m, cg, hyper = self._modules(state)
+                groups = [
+                    self._embed_group(cg, k, syms[2 * k], syms[2 * k + 1])
+                    for k in range(len(self.groups))
+                ]
+                return jnp.concatenate(groups, axis=-1)
+
+            self._embed_full_cache = jax.jit(impl)
+        return self._embed_full_cache
+
+    # -- orchestration -----------------------------------------------------------
+
+    def encode(self, x, full: bool = False):
+        cd = 1 if full else self.cap_divisor
+        ps_z, z_bin, syms = self._analyze_jit(self._state, x, cd)
+        side_all = self._side_jit(self._state, z_bin)
+        streams = [ps_z]
+        for k in range(len(self.groups)):
+            params_k = self._ctxparams_jit(
+                self._state, side_all, syms[: 2 * k], k
+            )
+            sym0, sym1 = syms[2 * k], syms[2 * k + 1]
+            rows0 = self._rows_jit(self._state, params_k, sym0, k, 0)
+            streams.append(self._encpass_jit(rows0, sym0.reshape(-1), cd))
+            rows1 = self._rows_jit(self._state, params_k, sym0, k, 1)
+            streams.append(self._encpass_jit(rows1, sym1.reshape(-1), cd))
+        y_hat = self._embed_full_jit(self._state, syms)
+        return {"streams": streams, "y_hat": y_hat}
+
+    def _decode_y(self, streams, shape):
         if len(shape) == 4:
             b, h, w, c = shape
         else:
             h, w, c = shape
             b = 1
-        zh, zw = h // 4, w // 4
-
-        med = eb._get_medians()[:, 0, 0]
-        z_rows, z_off, z_maxbin = self._z_tables(eb)
-        c_z = z_rows.shape[0]
-        n_z = b * zh * zw * c_z
-        rows_per_sym = jnp.broadcast_to(
-            z_rows[None], (b * zh * zw, c_z, z_rows.shape[1])
-        ).reshape(-1, z_rows.shape[1])
-        z_bin = _decode_pass(streams[0], rows_per_sym, n_z, jnp.int32(0), w_lanes)
-        z_hat = (z_bin.reshape(b, zh, zw, c_z) + z_off).astype(jnp.float32) + med
-
-        side_all = hyper.h_s(z_hat)
-        y_hat_groups = []
+        z_bin = self._zdec_jit(
+            self._state, streams[0], (b, h // 4, w // 4, self._z_channels())
+        )
+        side_all = self._side_jit(self._state, z_bin)
+        syms = []
         si = 1
         for k in range(len(self.groups)):
             gk = self.groups[k]
-            ckbd = cg.latent_codec[f"y{k}"]
-            gmm_lc = ckbd.latent_codec["y"]
-            params_k = cg._get_ctx_params(k, side_all, y_hat_groups)
-            side = ckbd.unembed(params_k)
-            y_hat_ = jnp.zeros((2, b, h, w // 2, gk), jnp.float32)
-            for i in range(2):
-                ctx = ckbd.unembed(
-                    ckbd.context_prediction(ckbd.embed(y_hat_))
-                )[i]
-                if i == 0:
-                    ctx = jnp.zeros_like(ctx)
-                rows = self._group_rows(ckbd, gmm_lc, ctx, side[i], lo, num_bins)
-                n = b * h * (w // 2) * gk
-                sym = _decode_pass(streams[si], rows, n, lo, w_lanes)
-                si += 1
-                y_hat_ = y_hat_.at[i].set(
-                    sym.reshape(b, h, w // 2, gk).astype(jnp.float32)
-                )
-            y_hat_groups.append(ckbd.embed(y_hat_))
-
-        return jnp.concatenate(y_hat_groups, axis=-1)
-
-    def _decode_impl(self, state, streams, shape):
-        m, _, _ = self._modules(state)
-        y_hat = self._decode_y_impl(state, streams, shape)
-        return jnp.clip(m.g_s(y_hat), 0.0, 1.0)
-
-    # -- public API --------------------------------------------------------------
-
-    def encode(self, x):
-        return self._encode_jit(self._state, x)
-
-    def decode(self, streams, y_shape):
-        return self._decode_jit(self._state, tuple(streams), tuple(y_shape))
+            params_k = self._ctxparams_jit(
+                self._state, side_all, tuple(syms), k
+            )
+            rows0 = self._rows_jit(
+                self._state, params_k,
+                jnp.zeros((b, h, w // 2, gk), jnp.int32), k, 0
+            )
+            sym0 = self._decpass_jit(rows0, streams[si]).reshape(b, h, w // 2, gk)
+            si += 1
+            rows1 = self._rows_jit(self._state, params_k, sym0, k, 1)
+            sym1 = self._decpass_jit(rows1, streams[si]).reshape(b, h, w // 2, gk)
+            si += 1
+            syms += [sym0, sym1]
+        return self._embed_full_jit(self._state, tuple(syms))
 
     def decode_y_hat(self, streams, y_shape):
-        return self._decode_y_jit(self._state, tuple(streams), tuple(y_shape))
+        return self._decode_y(tuple(streams), tuple(y_shape))
+
+    def decode(self, streams, y_shape):
+        y_hat = self._decode_y(tuple(streams), tuple(y_shape))
+        return self._gs_jit(self._state, y_hat)
+
+    # -- serialization -------------------------------------------------------------
 
     def to_bytes(self, out):
         arrays = []

@@ -28,11 +28,16 @@ class TestFastCodec:
         y_shape = tuple(out["y_hat"].shape[1:])
         x_hat = codec.decode(out, y_shape)
         assert x_hat.shape == x.shape
-        # The decoder's reconstruction must match g_s applied (in the same
-        # decode program) to the encoder's y_hat -> compare via PSNR against
-        # an independent render; exact symbol equality is tested below.
-        ref = jnp.clip(net.g_s(out["y_hat"]), 0, 1)
-        assert float(jnp.max(jnp.abs(x_hat - ref))) < 1e-4
+        # The decoder's reconstruction must match g_s applied to the
+        # encoder's y_hat. The codec runs g_s in bf16 (the entropy path
+        # stays exact — see test below), so compare against the same bf16
+        # transform; allow bf16-ULP wiggle across separate jit programs.
+        ref = jnp.clip(codec._transform(net.g_s, out["y_hat"]), 0, 1)
+        assert float(jnp.max(jnp.abs(x_hat - ref))) < 1e-2
+        # and the f32 render stays in the same visual ballpark
+        ref32 = jnp.clip(net.g_s(out["y_hat"]), 0, 1)
+        mse = float(jnp.mean((x_hat - ref32) ** 2))
+        assert mse < 5e-4  # untrained weights amplify bf16 noise
 
     def test_symbols_roundtrip_exact(self, setup):
         """Decoded y_hat must equal the encoder's y_hat bit-for-bit."""

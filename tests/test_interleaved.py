@@ -68,7 +68,7 @@ class TestGuardedRows:
 
 
 class TestInterleavedRoundtrip:
-    @pytest.mark.parametrize("n,w", [(1000, 64), (4096, 128), (777, 128), (63, 64)])
+    @pytest.mark.parametrize("n,w", [(1000, 64), (4096, 128), (777, 128), (63, 64), (3000, 256)])
     def test_gmm_roundtrip(self, n, w):
         lo, nb = -16, 33
         scales, means, weights = _gmm_params(n)
