@@ -21,6 +21,7 @@
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -168,6 +169,12 @@ inline float polya_cdf(float x) {
   return 0.5f * (1.0f + std::copysign(std::sqrt(1.0f - std::exp(-2.0f * x * x / kPi)), x));
 }
 
+// Explicit fmaf placements: the reference binary (gcc -O3 default
+// -ffp-contract=fast) contracts the A&S polynomial into FMAs, and bitstream
+// bit-exactness requires reproducing that exact f32 rounding. The rest of
+// this file is compiled with -ffp-contract=off (see ans/cext.py) because the
+// reference's GMM accumulation loop is NOT contracted — both facts verified
+// against recorded reference bitstreams (tests/test_reference_golden.py).
 inline float as_cdf(float x) {
   constexpr float p = 0.2316419f;
   constexpr float b1 = 0.319381530f;
@@ -177,9 +184,10 @@ inline float as_cdf(float x) {
   constexpr float b5 = 1.330274429f;
   float abs_x = std::fabs(x);
   float z_x = kInvSqrt2Pi * std::exp(-0.5f * x * x);
-  float t = 1.0f / (1.0f + p * abs_x);
-  float poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))));
-  float res = 1.0f - z_x * poly;
+  float t = 1.0f / std::fmaf(p, abs_x, 1.0f);
+  float poly =
+      t * std::fmaf(t, std::fmaf(t, std::fmaf(t, std::fmaf(t, b5, b4), b3), b2), b1);
+  float res = std::fmaf(-z_x, poly, 1.0f);
   return (x >= 0.0f) ? res : 1.0f - res;
 }
 
@@ -206,6 +214,47 @@ inline void gmm_cdf2(float x1, float x2, const float* means, const float* scales
   *c2 = b;
 }
 
+// ---- Debug-mode CDF validation ---------------------------------------------
+// Enabled via env FLASHGMM_DEBUG=1 (runtime check instead of the reference's
+// DEBUG_BUILD compile flag; cf. assert_cdfs, rans_interface.cpp:70-80).
+// Validation failures return kErrInvalidCdf from the encode entry points.
+
+constexpr int64_t kErrInvalidCdf = INT64_MIN;
+
+inline bool debug_enabled() {
+  static int enabled = -1;
+  if (enabled == -1) {
+    const char* env = std::getenv("FLASHGMM_DEBUG");
+    enabled = (env != nullptr && env[0] == '1') ? 1 : 0;
+  }
+  return enabled == 1;
+}
+
+inline bool check_table_cdfs(const int32_t* cdfs, int64_t cdf_stride,
+                             const int32_t* cdfs_sizes, int64_t n_cdfs) {
+  for (int64_t i = 0; i < n_cdfs; ++i) {
+    const int32_t* cdf = cdfs + i * cdf_stride;
+    const int32_t size = cdfs_sizes[i];
+    if (size < 2 || size > cdf_stride) return false;
+    if (cdf[0] != 0) return false;
+    if (cdf[size - 1] != (1 << kPrecision)) return false;
+    for (int32_t j = 0; j + 1 < size; ++j) {
+      if (cdf[j + 1] < cdf[j]) return false;  // must be monotone
+    }
+  }
+  return true;
+}
+
+inline bool check_rows(const uint16_t* rows, int64_t n, int64_t row_len) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint16_t* row = rows + i * row_len;
+    for (int64_t j = 0; j + 1 < row_len; ++j) {
+      if (row[j + 1] < row[j]) return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -219,6 +268,11 @@ int64_t fg_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
                                int64_t n, const int32_t* cdfs, int64_t cdf_stride,
                                const int32_t* cdfs_sizes, const int32_t* offsets,
                                uint8_t* out, int64_t capacity) {
+  if (debug_enabled()) {
+    int64_t n_cdfs = 0;
+    for (int64_t i = 0; i < n; ++i) n_cdfs = std::max<int64_t>(n_cdfs, indexes[i] + 1);
+    if (!check_table_cdfs(cdfs, cdf_stride, cdfs_sizes, n_cdfs)) return kErrInvalidCdf;
+  }
   SymbolBuffer buf;
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
@@ -285,6 +339,7 @@ int64_t fg_decode_with_indexes(const uint8_t* data, int64_t nbytes,
 int64_t fg_encode_rows(const int32_t* values, int64_t n, const uint16_t* rows,
                        int64_t row_len, int32_t lo, uint8_t* out,
                        int64_t capacity) {
+  if (debug_enabled() && !check_rows(rows, n, row_len)) return kErrInvalidCdf;
   SymbolBuffer buf;
   for (int64_t i = 0; i < n; ++i) {
     const uint16_t* row = rows + i * row_len;
@@ -463,6 +518,6 @@ void fg_decoder_free(void* handle) {
 }
 
 // Build info probe so Python can detect a stale shared library.
-int32_t fg_abi_version() { return 4; }
+int32_t fg_abi_version() { return 5; }
 
 }  // extern "C"

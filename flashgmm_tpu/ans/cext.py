@@ -11,7 +11,7 @@ import threading
 
 import numpy as np
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "rans.cpp"))
@@ -23,9 +23,12 @@ _build_error = None
 
 
 def _build():
+    # -ffp-contract=off: gcc's default (=fast) contracts the GMM mixture
+    # accumulation into FMAs, which changes f32 rounding vs the reference
+    # build and breaks bitstream bit-exactness (tests/expected/reference).
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        "-o", _LIB_PATH, _SRC,
+        "-ffp-contract=off", "-o", _LIB_PATH, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -85,6 +88,19 @@ def _declare(lib):
     lib.fg_decoder_free.argtypes = [ctypes.c_void_p]
 
 
+_ERR_INVALID_CDF = -(2**63)  # kErrInvalidCdf in csrc/rans.cpp
+
+
+def _check_rc(nbytes: int) -> int:
+    """Raise on the debug-mode invalid-CDF error code (FLASHGMM_DEBUG=1)."""
+    if nbytes == _ERR_INVALID_CDF:
+        raise ValueError(
+            "invalid CDF table passed to the host coder (non-monotone row or "
+            "bad first/last entry); detected because FLASHGMM_DEBUG=1"
+        )
+    return nbytes
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -113,6 +129,7 @@ def encode_with_indexes(symbols, indexes, cdfs, cdfs_sizes, offsets) -> bytes:
         n, _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
         _ptr(cdfs_sizes, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
         _ptr(out, ctypes.c_uint8), out.shape[0])
+    nbytes = _check_rc(nbytes)
     if nbytes < 0:
         out = np.empty(-nbytes, dtype=np.uint8)
         nbytes = lib.fg_encode_with_indexes(
@@ -149,6 +166,7 @@ def encode_rows(values, rows, lo: int) -> bytes:
         _ptr(values, ctypes.c_int32), values.shape[0],
         _ptr(rows, ctypes.c_uint16), rows.shape[1], int(lo),
         _ptr(out, ctypes.c_uint8), out.shape[0])
+    nbytes = _check_rc(nbytes)
     if nbytes < 0:
         out = np.empty(-nbytes, dtype=np.uint8)
         nbytes = lib.fg_encode_rows(
@@ -183,6 +201,7 @@ def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> byt
         _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
         _ptr(weights, ctypes.c_float), K, int(approx_mode),
         _ptr(out, ctypes.c_uint8), out.shape[0])
+    nbytes = _check_rc(nbytes)
     if nbytes < 0:
         out = np.empty(-nbytes, dtype=np.uint8)
         nbytes = lib.fg_encode_gmm_host(
@@ -191,6 +210,27 @@ def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> byt
             _ptr(weights, ctypes.c_float), K, int(approx_mode),
             _ptr(out, ctypes.c_uint8), out.shape[0])
     return out[:nbytes].tobytes()
+
+
+def encode_gsm_host(values, scales, approx_mode: int = 0) -> bytes:
+    """Table-free single-Gaussian (GSM) host encode, bit-identical to the
+    reference overload ``encode_with_indexes(symbols, scales, max_value)``
+    (rans_interface.cpp:401-456): a K=1 mixture with mean 0 and weight 1
+    evaluates to exactly the same f32 CDF."""
+    scales = np.ascontiguousarray(scales, dtype=np.float32).reshape(-1, 1)
+    zeros = np.zeros_like(scales)
+    ones = np.ones_like(scales)
+    return encode_gmm_host(values, scales, zeros, ones, approx_mode)
+
+
+def decode_gsm_host(encoded: bytes, scales, max_bs_value: int,
+                    approx_mode: int = 0):
+    """Search-based GSM host decode (cf. rans_interface.cpp:690-764)."""
+    scales = np.ascontiguousarray(scales, dtype=np.float32).reshape(-1, 1)
+    zeros = np.zeros_like(scales)
+    ones = np.ones_like(scales)
+    return decode_gmm_host(encoded, scales, zeros, ones, max_bs_value,
+                           approx_mode)
 
 
 class StreamingDecoder:

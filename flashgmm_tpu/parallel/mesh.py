@@ -17,6 +17,14 @@ def make_mesh(n_devices: int = None, data: int = None, spatial: int = 1):
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"make_mesh: requested {n_devices} devices but backend "
+            f"'{jax.default_backend()}' exposes only {len(devices)}. "
+            "For CPU emulation set JAX_PLATFORMS=cpu and "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> before "
+            "jax initializes (see tests/conftest.py)."
+        )
     if data is None:
         data = n_devices // spatial
     assert data * spatial == n_devices, (data, spatial, n_devices)

@@ -42,7 +42,8 @@ class FastElicGmmCodec:
         self._side_jit = jax.jit(self._side_impl)
         # k is static: selects the per-group modules
         self._ctxparams_jit = jax.jit(self._ctxparams_impl, static_argnums=(3,))
-        self._rows_jit = jax.jit(self._rows_impl, static_argnums=(4, 5))
+        # bound method: args are (state, params_k, sym0, k, i) -> k, i static
+        self._rows_jit = jax.jit(self._rows_impl, static_argnums=(3, 4))
         self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
         self._decpass_jit = jax.jit(self._decpass_impl)
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
