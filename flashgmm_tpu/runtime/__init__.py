@@ -1,6 +1,6 @@
-from .fast_codec import FastCheckerboardGmmCodec
+from .fast_codec import FastCheckerboardGmmCodec, FastCheckerboardGsmCodec
 
-__all__ = ["FastCheckerboardGmmCodec"]
+__all__ = ["FastCheckerboardGmmCodec", "FastCheckerboardGsmCodec"]
 from .fast_elic import FastElicGmmCodec  # noqa: E402
 
 __all__ += ["FastElicGmmCodec"]

@@ -476,3 +476,135 @@ class FastCheckerboardGmmCodec:
             [p.n_words for p in (out["z"], out["y0"], out["y1"])]
         )
         return sum(int(n) * 2 + self.lanes * 4 for n in fetched)
+
+
+class FastCheckerboardGsmCodec(FastCheckerboardGmmCodec):
+    """Single-jit on-device codec for Cheng2020AnchorCheckerboard (the
+    single-Gaussian / GSM counterpart; reference models/sensetime.py:69-172
+    and the table-free GSM coder rans_interface.cpp:401-456, 690-764).
+
+    Same correctness-by-construction structure as the GMM codec, coded as
+    a K=1 mixture so the ``_mixture_cdf`` add chain stays structurally
+    identical between the encoder's and decoder's compiled programs.  The
+    one structural difference from GMM: the GC latent codec quantizes
+    mean-centered (``quantize_ste(y - means) + means``), so symbols are
+    ``round(y - mu)``, the CDF rows are zero-mean, and the shared rows
+    programs also return ``mu`` (both sides then reconstruct
+    ``y_hat = sym + mu`` bit-identically).
+    """
+
+    def _modules(self, state):
+        m = nnx.merge(self._graphdef, state)
+        ckbd = m.latent_codec["y"]
+        hyper = m.latent_codec["hyper"]
+        gc_lc = ckbd.latent_codec["y"]  # GaussianConditionalLatentCodec
+        return m, ckbd, hyper, gc_lc
+
+    def _gsm_pass_params(self, ckbd, gc_lc, y_ctx, side):
+        """EP -> (scales [N,1] clamped, means [b,h,w/2,c])."""
+        p = ckbd.entropy_parameters(ckbd.merge(y_ctx, side))
+        scales, means = gc_lc._chunk(p)
+        flat = scales.reshape(-1, 1)
+        return jnp.clip(flat, 0.11, 256.0), means
+
+    def _analyze_impl(self, state, x, cap_divisor):
+        """Encoder-only: transforms + the z table pass. Unlike the GMM
+        flagship, y cannot be quantized here (symbols are mean-centered and
+        the means depend on the side/context params)."""
+        m, ckbd, hyper, gc_lc = self._modules(state)
+        eb = hyper.entropy_bottleneck
+
+        y = self._transform(m.g_a, x)
+        z = self._transform(hyper.h_a, y)
+
+        med = eb._get_medians()[:, 0, 0]
+        z_rows, z_off, z_maxbin = self._z_tables(eb)
+        z_bin = jnp.clip(
+            jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin
+        )
+
+        zb = z_bin.reshape(-1)
+        rows_per_sym = self._z_rows_per_sym(z_rows, zb.shape[0] // z.shape[-1])
+        Lz = rows_per_sym.shape[-1]
+        oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
+        z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
+        z_nxt = jnp.sum(
+            rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
+        )
+        z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
+
+        y_ = ckbd.unembed(y)  # [2, b, h, w/2, c] float
+        return ps_z, z_bin, y_[0], y_[1]
+
+    def _rows0_impl(self, state, side0):
+        """SHARED enc/dec: anchor-pass zero-mean GSM rows + anchor means."""
+        m, ckbd, hyper, gc_lc = self._modules(state)
+        lo, num_bins = self._lo_bins()
+        ctx = jnp.zeros_like(side0)
+        scales, mu = self._gsm_pass_params(ckbd, gc_lc, ctx, side0)
+        rows = gmm_guarded_rows(
+            scales, jnp.zeros_like(scales), jnp.ones_like(scales),
+            lo, num_bins, self.mode,
+        )
+        return rows, mu
+
+    def _rows1_impl(self, state, side1, sym0, mu0):
+        """SHARED enc/dec: non-anchor rows + means, conditioned on the
+        reconstructed anchors (sym0 + mu0, bit-identical on both sides)."""
+        m, ckbd, hyper, gc_lc = self._modules(state)
+        lo, num_bins = self._lo_bins()
+        y_hat0 = sym0.astype(jnp.float32) + mu0
+        y_hat_ = jnp.stack([y_hat0, jnp.zeros_like(y_hat0)])
+        ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
+        scales, mu = self._gsm_pass_params(ckbd, gc_lc, ctx, side1)
+        rows = gmm_guarded_rows(
+            scales, jnp.zeros_like(scales), jnp.ones_like(scales),
+            lo, num_bins, self.mode,
+        )
+        return rows, mu
+
+    def _quantize_jit_impl(self, y_half, mu):
+        return jnp.clip(
+            jnp.round(y_half - mu).astype(jnp.int32),
+            -self.max_abs, self.max_abs,
+        )
+
+    def _embed_impl(self, state, sym0, sym1, mu0, mu1):
+        m, ckbd, hyper, gc_lc = self._modules(state)
+        return ckbd.embed(
+            jnp.stack([
+                sym0.astype(jnp.float32) + mu0,
+                sym1.astype(jnp.float32) + mu1,
+            ])
+        )
+
+    @functools.cached_property
+    def _quantize_jit(self):
+        return jax.jit(self._quantize_jit_impl)
+
+    def encode(self, x, full: bool = False):
+        cd = 1 if full else self.cap_divisor
+        ps_z, z_bin, y0, y1 = self._analyze_jit(self._state, x, cd)
+        side = self._side_jit(self._state, z_bin)
+        rows0, mu0 = self._rows0_jit(self._state, side[0])
+        sym0 = self._quantize_jit(y0, mu0)
+        ps0 = self._encpass_jit(rows0, sym0.reshape(-1), cd)
+        rows1, mu1 = self._rows1_jit(self._state, side[1], sym0, mu0)
+        sym1 = self._quantize_jit(y1, mu1)
+        ps1 = self._encpass_jit(rows1, sym1.reshape(-1), cd)
+        y_hat = self._embed_jit(self._state, sym0, sym1, mu0, mu1)
+        return {"z": ps_z, "y0": ps0, "y1": ps1, "y_hat": y_hat}
+
+    def _decode_y(self, streams, y_shape):
+        ps_z, ps0, ps1 = streams["z"], streams["y0"], streams["y1"]
+        b, h, w, c = self._y_shape_parts(y_shape)
+        z_bin = self._zdec_jit(
+            self._state, ps_z, (b, h // 4, w // 4, self._z_channels())
+        )
+        side = self._side_jit(self._state, z_bin)
+        rows0, mu0 = self._rows0_jit(self._state, side[0])
+        sym0 = self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c)
+        rows1, mu1 = self._rows1_jit(self._state, side[1], sym0, mu0)
+        sym1 = self._decpass_jit(rows1, ps1).reshape(b, h, w // 2, c)
+        return self._embed_jit(self._state, sym0, sym1, mu0, mu1)

@@ -117,3 +117,27 @@ class TestFastElic:
         np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(out["y_hat"]))
         x_hat = codec.decode(streams, y_shape)
         assert x_hat.shape == x.shape
+
+
+class TestFastGsm:
+    def test_gsm_fast_roundtrip(self):
+        """GSM (single-Gaussian checkerboard) fast codec: decoded y_hat must
+        equal the encoder's y_hat bit-for-bit, through serialization."""
+        from flashgmm_tpu.models.sensetime import Cheng2020AnchorCheckerboard
+        from flashgmm_tpu.runtime import FastCheckerboardGsmCodec
+
+        net = Cheng2020AnchorCheckerboard(N=64, rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        codec = FastCheckerboardGsmCodec(net, lanes=64, cap_divisor=1)
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        out = codec.encode(x)
+        y_shape = tuple(out["y_hat"].shape[1:])
+        data = codec.to_bytes(out)
+        streams = codec.from_bytes(data, y_shape)
+        y_hat = codec.decode_y_hat(streams, y_shape)
+        np.testing.assert_array_equal(np.asarray(y_hat), np.asarray(out["y_hat"]))
+        # reconstruction runs and is shaped right
+        x_hat = codec.decode(streams, y_shape)
+        assert x_hat.shape == x.shape

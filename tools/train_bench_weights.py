@@ -1,51 +1,140 @@
-"""Train the flagship briefly on synthetic smooth content so the benchmark
-runs at a realistic operating rate; save bf16 weights for bench.py."""
-import time, numpy as np, jax
+"""Train the flagship on natural-statistics synthetic content (dead-leaves;
+flashgmm_tpu/datasets/synthetic.py) so bench.py runs at a realistic
+operating point (~0.5-1.0 bpp), and save weights for bench.py.
+
+Logs a JSON line per probe; saves weights periodically so an interrupted
+run still leaves usable weights. Held-out RD probe = forward-pass bpp +
+PSNR on unseen 768x512 images (the reference's periodic-Kodak-probe
+analog, train_ckbd_gmm.py:66-114).
+
+Usage: python tools/train_bench_weights.py [--steps N] [--max-hours H]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
+import optax
 from flax import nnx
+
+from flashgmm_tpu.datasets.synthetic import make_pool, random_crop
 from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
 from flashgmm_tpu.parallel import make_train_state
 from flashgmm_tpu.parallel.train import data_parallel_train_step
 
+p = argparse.ArgumentParser()
+p.add_argument("--steps", type=int, default=20000)
+p.add_argument("--max-hours", type=float, default=3.0)
+p.add_argument("--lmbda", type=float, default=0.0067)
+p.add_argument("--bs", type=int, default=8)
+p.add_argument("--crop", type=int, default=256)
+p.add_argument("--lr", type=float, default=1e-4)
+p.add_argument("--out", default="weights/ckbd_gmm_n192_k4_synthetic.npz")
+p.add_argument("--pool", type=int, default=40)
+args = p.parse_args()
+
 model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
-opt_net, opt_aux = make_train_state(model, 1e-4, 1e-3)
+# lr drops 10x for the last 15% of training (reference uses MultiStepLR)
+sched = optax.piecewise_constant_schedule(
+    args.lr, {int(args.steps * 0.85): 0.1}
+)
+opt_net, opt_aux = make_train_state(model, sched, 1e-3)
+
+print(f"generating pool of {args.pool} 512x768 dead-leaves images...", flush=True)
+t0 = time.time()
+pool = make_pool(args.pool, 512, 768, seed0=0)
+heldout = np.stack(make_pool(2, 768, 512, seed0=100000))
+print(f"pool done in {time.time()-t0:.0f}s", flush=True)
 
 rs = np.random.RandomState(1)
-def make_batch(bs=8, hw=256):
-    base = rs.rand(bs, hw // 16, hw // 16, 3).astype(np.float32)
-    img = jax.image.resize(jnp.asarray(base), (bs, hw, hw, 3), "bilinear")
-    return jnp.clip(0.5 + 0.25 * (img - 0.5), 0, 1)
-
 key = jax.random.key(0)
-t0 = time.time()
-x = make_batch()
-out = data_parallel_train_step(model, opt_net, opt_aux, x, key, 0.01)
-print(f"train step compile: {time.time()-t0:.0f}s loss={float(out['loss']):.2f}", flush=True)
 
-STEPS = 3000
+
+def save_weights(tag=""):
+    state = nnx.state(model, nnx.Param)
+    arrays = {}
+    for path, v in nnx.to_flat_state(state):
+        keyname = "/".join(str(q) for q in path)
+        arrays[keyname] = np.asarray(jax.device_get(v.value)).astype(np.float16)
+    np.savez_compressed(args.out, **arrays)
+    print(json.dumps({"event": "saved", "tag": tag, "path": args.out}), flush=True)
+
+
+@nnx.jit
+def eval_probe(m, x):
+    out = m(x, training=False)
+    num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+    bpp = sum(
+        jnp.sum(-jnp.log2(l)) for l in jax.tree.leaves(out["likelihoods"])
+    ) / num_pixels
+    mse = jnp.mean((out["x_hat"] - x) ** 2)
+    return bpp, -10.0 * jnp.log10(mse)
+
+
 t0 = time.time()
-for i in range(STEPS):
+x = jnp.asarray(random_crop(pool, args.bs, args.crop, rs))
+out = data_parallel_train_step(model, opt_net, opt_aux, x, key, args.lmbda)
+print(f"compile {time.time()-t0:.0f}s loss={float(out['loss']):.3f}", flush=True)
+
+t0 = time.time()
+last_good = 0
+for i in range(args.steps):
     key, sub = jax.random.split(key)
-    x = make_batch()
-    out = data_parallel_train_step(model, opt_net, opt_aux, x, sub, 0.01)
-    if i % 50 == 0:
-        print(f"step {i}: loss={float(out['loss']):.3f} bpp={float(out['bpp_loss']):.3f} "
-              f"mse={float(out['mse_loss']):.5f} ({(time.time()-t0)/(i+1):.2f}s/step)", flush=True)
+    x = jnp.asarray(random_crop(pool, args.bs, args.crop, rs))
+    out = data_parallel_train_step(model, opt_net, opt_aux, x, sub, args.lmbda)
+    if i % 250 == 0:
+        loss = float(out["loss"])
+        if not np.isfinite(loss):
+            print(json.dumps({"event": "nan", "step": i}), flush=True)
+            break
+        print(
+            json.dumps(
+                {
+                    "step": i,
+                    "loss": round(loss, 4),
+                    "bpp": round(float(out["bpp_loss"]), 4),
+                    "mse": round(float(out["mse_loss"]), 6),
+                    "s_per_step": round((time.time() - t0) / (i + 1), 3),
+                }
+            ),
+            flush=True,
+        )
+    if i > 0 and i % 2000 == 0:
+        bpp, psnr = eval_probe(model, heldout)
+        print(
+            json.dumps(
+                {
+                    "event": "probe",
+                    "step": i,
+                    "heldout_bpp": round(float(bpp), 4),
+                    "heldout_psnr": round(float(psnr), 2),
+                }
+            ),
+            flush=True,
+        )
+        save_weights(f"step{i}")
+    if (time.time() - t0) > args.max_hours * 3600:
+        print(json.dumps({"event": "time_limit", "step": i}), flush=True)
+        break
 
-print(f"final: loss={float(out['loss']):.3f} bpp={float(out['bpp_loss']):.3f}", flush=True)
-
-# save bf16 params npz
-state = nnx.state(model, nnx.Param)
-flat = nnx.to_flat_state(state)
-arrays = {}
-for path, v in flat:
-    keyname = "/".join(str(p) for p in path)
-    arr = np.asarray(jax.device_get(v.value))
-    if arr.dtype == np.float32:
-        arr = arr.astype(np.dtype("bfloat16").newbyteorder("=")) if False else arr.astype(np.float16)
-    arrays[keyname] = arr
-np.savez_compressed("weights/ckbd_gmm_n192_k4_synthetic.npz", **arrays)
-import os
-print("saved:", os.path.getsize("weights/ckbd_gmm_n192_k4_synthetic.npz")/1e6, "MB", flush=True)
+bpp, psnr = eval_probe(model, heldout)
+print(
+    json.dumps(
+        {
+            "event": "final",
+            "heldout_bpp": round(float(bpp), 4),
+            "heldout_psnr": round(float(psnr), 2),
+        }
+    ),
+    flush=True,
+)
+save_weights("final")
