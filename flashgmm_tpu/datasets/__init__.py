@@ -25,6 +25,17 @@ __all__ += [
     "StackDataset",
     "PreGeneratedMemmapDataset",
 ]
-from .pointcloud import PointCloudFolder, load_point_cloud  # noqa: E402
+from .pointcloud import (  # noqa: E402
+    ModelNetDataset,
+    PointCloudFolder,
+    S3disDataset,
+    SemanticKittiDataset,
+    ShapeNetCorePartDataset,
+    load_point_cloud,
+)
 
-__all__ += ["PointCloudFolder", "load_point_cloud"]
+__all__ += [
+    "ModelNetDataset", "PointCloudFolder", "S3disDataset",
+    "SemanticKittiDataset", "ShapeNetCorePartDataset",
+    "load_point_cloud",
+]

@@ -22,6 +22,14 @@ def setup_args(argv):
                    default=[10, 30, 50, 70, 90])
     p.add_argument("-j", "--num-jobs", type=int, default=4)
     p.add_argument("-o", "--output", type=str)
+    # external-binary codec options (reference utils/bench setup_args)
+    p.add_argument("--build-dir", type=str, default="",
+                   help="VTM/HM/AV1 binaries directory")
+    p.add_argument("--config", type=str, default="",
+                   help="VTM/HM encoder config file")
+    p.add_argument("--tfci-path", type=str, default="tfci.py")
+    p.add_argument("--tfci-model", type=str,
+                   default="bmshj2018-factorized-mse")
     return p.parse_args(argv)
 
 
@@ -31,7 +39,14 @@ def main(argv=None):
     from flashgmm_tpu.datasets.image import IMG_EXTENSIONS
     from flashgmm_tpu.utils.bench.codecs import get_codec
 
-    codec = get_codec(args.codec)
+    kwargs = {}
+    if args.codec in ("vtm", "hm"):
+        kwargs = {"build_dir": args.build_dir, "config": args.config}
+    elif args.codec == "av1":
+        kwargs = {"build_dir": args.build_dir}
+    elif args.codec == "tfci":
+        kwargs = {"tfci_path": args.tfci_path, "model": args.tfci_model}
+    codec = get_codec(args.codec, **kwargs)
     images = sorted(
         f for f in Path(args.dataset).iterdir()
         if f.suffix.lower() in IMG_EXTENSIONS

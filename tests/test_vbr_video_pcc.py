@@ -134,7 +134,7 @@ class TestTransforms:
 
 
 class TestPointCloudVariants:
-    @pytest.mark.parametrize("name", ["sfu-pcc-rec-pointnet2", "hrtzxf2022-pcc-rec"])
+    @pytest.mark.parametrize("name", ["sfu-pcc-rec-pointnet2", "folding-pcc-rec"])
     def test_roundtrip(self, name):
         from flashgmm_tpu.registry import MODELS
 

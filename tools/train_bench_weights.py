@@ -40,9 +40,23 @@ p.add_argument("--crop", type=int, default=256)
 p.add_argument("--lr", type=float, default=1e-4)
 p.add_argument("--out", default="weights/ckbd_gmm_n192_k4_synthetic.npz")
 p.add_argument("--pool", type=int, default=40)
+p.add_argument("--resume", default=None,
+               help="npz weights to load before training (fresh optimizer)")
 args = p.parse_args()
 
 model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
+if args.resume:
+    data = np.load(args.resume)
+    state = nnx.state(model, nnx.Param)
+    flat = nnx.to_flat_state(state)
+    n_loaded = 0
+    for path_, v in flat:
+        keyname = "/".join(str(q) for q in path_)
+        if keyname in data:
+            v.value = jnp.asarray(data[keyname].astype(np.float32))
+            n_loaded += 1
+    nnx.update(model, nnx.from_flat_state(flat))
+    print(f"resumed {n_loaded} param tensors from {args.resume}", flush=True)
 # lr drops 10x for the last 15% of training (reference uses MultiStepLR)
 sched = optax.piecewise_constant_schedule(
     args.lr, {int(args.steps * 0.85): 0.1}
