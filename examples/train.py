@@ -39,6 +39,12 @@ def parse_args(argv):
     p.add_argument("--checkpoint", type=str, help="resume from checkpoint")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--probe-dir", type=str, default=None,
+                   help="directory of full-size images for the periodic RD "
+                        "probe (the reference's per-epoch Kodak eval)")
+    p.add_argument("--probe-every", type=int, default=1)
+    p.add_argument("--logdir", type=str, default=None,
+                   help="TensorBoard/scalars dir (default: checkpoint-dir/tb)")
     return p.parse_args(argv)
 
 
@@ -55,6 +61,7 @@ def main(argv=None):
     from flashgmm_tpu.parallel.train import data_parallel_train_step
     from flashgmm_tpu.registry import MODELS
     from flashgmm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from flashgmm_tpu.utils.logging import ScalarWriter, rd_probe
 
     np.random.seed(args.seed)
 
@@ -94,6 +101,18 @@ def main(argv=None):
     ckpt_dir = Path(args.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     log_path = ckpt_dir / "train_log.jsonl"
+    writer = ScalarWriter(args.logdir or ckpt_dir / "tb")
+    probe_images = None
+    if args.probe_dir:
+        from PIL import Image
+
+        from flashgmm_tpu.datasets.image import IMG_EXTENSIONS
+
+        probe_images = [
+            np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+            for f in sorted(Path(args.probe_dir).iterdir())
+            if f.suffix.lower() in IMG_EXTENSIONS
+        ]
 
     key = jax.random.key(args.seed)
     lr_scale = 1.0
@@ -132,6 +151,12 @@ def main(argv=None):
         if epoch % args.eval_every == 0:
             metrics["test_loss"] = evaluate(model, test_ds, args, key)
 
+        if probe_images and epoch % args.probe_every == 0:
+            metrics.update(rd_probe(model, probe_images, args.lmbda))
+
+        metrics["lr"] = args.learning_rate * lr_scale
+        writer.add_scalars(metrics, epoch, prefix="train/")
+        writer.flush()
         with open(log_path, "a") as f:
             f.write(json.dumps(metrics) + "\n")
         print(json.dumps(metrics))
