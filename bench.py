@@ -72,7 +72,9 @@ def main():
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
     trained = _load_bench_weights(model)
     model.update(update_quantiles=True)
-    codec = FastCheckerboardGmmCodec(model, lanes=2048, cap_divisor=4)
+    # lanes=4096: best of the 2048/4096/8192 sweep (fewer decode-scan steps
+    # while the per-step vector work still fits the VPU)
+    codec = FastCheckerboardGmmCodec(model, lanes=4096, cap_divisor=4)
 
     from flashgmm_tpu.datasets.synthetic import textured_leaves
 

@@ -41,33 +41,33 @@ MASK16 = jnp.uint32(0xFFFF)
 
 
 # ---------------------------------------------------------------------------
-# exact u32 // u16 division out of float32 estimates
+# exact u32 // u16 division — pure integer shift-subtract
 # ---------------------------------------------------------------------------
-
-
-def _divmod_small(a, f):
-    """Exact (a // f, a % f) for a < 2^24, 1 <= f < 2^16 (uint32)."""
-    q = jnp.floor(
-        a.astype(jnp.float32) * (1.0 / f.astype(jnp.float32))
-    ).astype(jnp.uint32)
-    # float rounding can be off by ±1 (twice for safety)
-    for _ in range(2):
-        q = jnp.where(q * f > a, q - 1, q)
-        q = jnp.where((q + 1) * f <= a, q + 1, q)
-    return q, a - q * f
+# An earlier float32-reciprocal implementation (floor(a * (1/f)) with ±1
+# corrections) was EXACT standalone but silently wrong when fused into a
+# large XLA program on TPU: the fused lowering used a lower-precision
+# reciprocal whose error exceeded the correction margin, desynchronizing
+# ~1-per-thousand rANS lanes only at skewed frequencies (found with
+# trained-EB tables; tools/test_codec_exact_tpu.py reproduces). Integer
+# restoring division is immune to any float lowering choice.
 
 
 def divmod_u32_u16(a, f):
-    """Exact (a // f, a % f) for any u32 a and 1 <= f < 2^16."""
-    hi = a >> 16
-    lo = a & MASK16
-    q1, r1 = _divmod_small(hi, f)
-    a2 = (r1 << 8) | (lo >> 8)
-    q2, r2 = _divmod_small(a2, f)
-    a3 = (r2 << 8) | (lo & jnp.uint32(0xFF))
-    q3, r3 = _divmod_small(a3, f)
-    q = (q1 << 16) + (q2 << 8) + q3
-    return q, r3
+    """Exact (a // f, a % f) for u32 a in the rANS range and 1 <= f < 2^16.
+
+    Precondition (encoder invariant): a < f << 16, so the quotient fits in
+    16 bits — a classic 16-iteration restoring long division where the
+    remainder stays < 2^17 throughout.
+    """
+    r = a >> 16
+    q = jnp.zeros_like(a)
+    one = jnp.uint32(1)
+    for i in range(15, -1, -1):
+        r = (r << 1) | ((a >> i) & one)
+        ge = r >= f
+        r = jnp.where(ge, r - f, r)
+        q = jnp.where(ge, q | (one << i), q)
+    return q, r
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +147,8 @@ def _distribute(chunk, rank, w: int):
         sel = (
             jax.lax.broadcasted_iota(jnp.int32, (w, w), 1) == rank[:, None]
         ).astype(jnp.float32)
-        out = jnp.dot(sel, cf, preferred_element_type=jnp.float32)
+        out = jnp.dot(sel, cf, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return out.astype(jnp.int32)
     nb = w // BLK
     q = rank // BLK
@@ -156,8 +157,10 @@ def _distribute(chunk, rank, w: int):
         jax.lax.broadcasted_iota(jnp.int32, (w, nb), 1) == q[:, None]
     ).astype(jnp.float32)
     rowvec = jnp.dot(
-        sel_q, cf.reshape(nb, BLK), preferred_element_type=jnp.float32
-    )  # [W, BLK]
+        sel_q, cf.reshape(nb, BLK), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [W, BLK] — HIGHEST: default-precision MXU dots take bf16 operands,
+    # which cannot represent all u16 word values
     sel_r = (
         jax.lax.broadcasted_iota(jnp.int32, (w, BLK), 1) == r[:, None]
     ).astype(jnp.float32)

@@ -213,16 +213,28 @@ class FastCheckerboardGmmCodec:
         z_bin = jnp.clip(
             jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin
         )
+        # CRITICAL: pin the quantized symbols. Without the barrier XLA may
+        # REMATERIALIZE z_bin (derived from bf16 convs) separately for each
+        # consumer below, and the recomputations can round differently —
+        # start and freq then disagree about the coded bin and the rANS
+        # stream silently desynchronizes (found with trained-EB tables;
+        # tools/test_codec_exact_tpu.py).
+        z_bin = jax.lax.optimization_barrier(z_bin)
 
         zb = z_bin.reshape(-1)
         rows_per_sym = self._z_rows_per_sym(z_rows, zb.shape[0] // z.shape[-1])
+        # exact masked max-reduce: a one-hot SUM here is pattern-matched
+        # by XLA into an MXU dot whose bf16 operands cannot represent CDF
+        # boundaries like 65533 -> freq off by a few units -> rANS desync
+        # (found with trained-EB tables; see tests/test_interleaved.py)
         Lz = rows_per_sym.shape[-1]
-        oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
-        z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
-        z_nxt = jnp.sum(
-            rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
-        )
-        z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (1, Lz), 1)
+        z_start_i = jnp.max(
+            jnp.where(zcols == zb[:, None], rows_per_sym, 0), axis=1)
+        z_nxt = jnp.max(
+            jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1)
+        z_start = z_start_i.astype(jnp.uint32)
+        z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
         # z is ~10% of the payload; not worth the overflow risk of capping
         ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
 
@@ -230,6 +242,7 @@ class FastCheckerboardGmmCodec:
         sym = jnp.clip(
             jnp.round(y_).astype(jnp.int32), -self.max_abs, self.max_abs
         )  # [2, b, h, w/2, c]
+        sym = jax.lax.optimization_barrier(sym)  # see z_bin barrier above
         y_hat = ckbd.embed(sym.astype(jnp.float32))
         return ps_z, z_bin, sym[0], sym[1], y_hat
 
@@ -266,11 +279,16 @@ class FastCheckerboardGmmCodec:
         """Encoder: select (start, freq) from the shared rows and run the
         interleaved encode scan."""
         lo, num_bins = self._lo_bins()
-        L = num_bins + 1
         jbin = sym_flat - lo
-        oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
-        start = jnp.sum(rows * oh, axis=1)
-        nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
+        # exact masked max-reduce, NOT a one-hot sum: XLA lowers integer
+        # one-hot dot-products onto the MXU with bf16 operands, which cannot
+        # represent CDF boundaries like 65533 (silent rANS desync, found
+        # with trained tables); a reduce-max can never become a matmul, and
+        # unlike a gather it stays vectorized on TPU.
+        L = rows.shape[-1]
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        start = jnp.max(jnp.where(bins == jbin[:, None], rows, 0), axis=1)
+        nxt = jnp.max(jnp.where(bins == jbin[:, None] + 1, rows, 0), axis=1)
         freq = (nxt - start).astype(jnp.uint32)
         return _encode_pass(
             sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor
@@ -535,16 +553,28 @@ class FastCheckerboardGsmCodec(FastCheckerboardGmmCodec):
         z_bin = jnp.clip(
             jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin
         )
+        # CRITICAL: pin the quantized symbols. Without the barrier XLA may
+        # REMATERIALIZE z_bin (derived from bf16 convs) separately for each
+        # consumer below, and the recomputations can round differently —
+        # start and freq then disagree about the coded bin and the rANS
+        # stream silently desynchronizes (found with trained-EB tables;
+        # tools/test_codec_exact_tpu.py).
+        z_bin = jax.lax.optimization_barrier(z_bin)
 
         zb = z_bin.reshape(-1)
         rows_per_sym = self._z_rows_per_sym(z_rows, zb.shape[0] // z.shape[-1])
+        # exact masked max-reduce: a one-hot SUM here is pattern-matched
+        # by XLA into an MXU dot whose bf16 operands cannot represent CDF
+        # boundaries like 65533 -> freq off by a few units -> rANS desync
+        # (found with trained-EB tables; see tests/test_interleaved.py)
         Lz = rows_per_sym.shape[-1]
-        oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
-        z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
-        z_nxt = jnp.sum(
-            rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
-        )
-        z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (1, Lz), 1)
+        z_start_i = jnp.max(
+            jnp.where(zcols == zb[:, None], rows_per_sym, 0), axis=1)
+        z_nxt = jnp.max(
+            jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1)
+        z_start = z_start_i.astype(jnp.uint32)
+        z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
         ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
 
         y_ = ckbd.unembed(y)  # [2, b, h, w/2, c] float

@@ -102,6 +102,8 @@ class FastElicGmmCodec:
         med = eb._get_medians()[:, 0, 0]
         z_rows, z_off, z_maxbin = self._z_tables(eb)
         z_bin = jnp.clip(jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin)
+        # anti-rematerialization barrier (see fast_codec._analyze_impl)
+        z_bin = jax.lax.optimization_barrier(z_bin)
 
         c_z = z.shape[-1]
         zb = z_bin.reshape(-1)
@@ -109,13 +111,15 @@ class FastElicGmmCodec:
         rows_per_sym = jnp.broadcast_to(
             z_rows[None], (n_spatial, c_z, z_rows.shape[1])
         ).reshape(-1, z_rows.shape[1])
-        Lz = rows_per_sym.shape[-1]
-        oh = jax.nn.one_hot(zb, Lz, dtype=jnp.int32)
-        z_start = jnp.sum(rows_per_sym * oh, axis=1).astype(jnp.uint32)
-        z_nxt = jnp.sum(
-            rows_per_sym * jax.nn.one_hot(zb + 1, Lz, dtype=jnp.int32), axis=1
-        )
-        z_freq = (z_nxt - z_start.astype(jnp.int32)).astype(jnp.uint32)
+        # exact masked max-reduce (bf16 MXU one-hot-sum hazard; fast_codec)
+        Lz2 = rows_per_sym.shape[-1]
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (1, Lz2), 1)
+        z_start_i = jnp.max(
+            jnp.where(zcols == zb[:, None], rows_per_sym, 0), axis=1)
+        z_nxt = jnp.max(
+            jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1)
+        z_start = z_start_i.astype(jnp.uint32)
+        z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
         ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
 
         syms = []
@@ -125,6 +129,7 @@ class FastElicGmmCodec:
             sym = jnp.clip(
                 jnp.round(y_).astype(jnp.int32), -self.max_abs, self.max_abs
             )  # [2, b, h, w/2, gk]
+            sym = jax.lax.optimization_barrier(sym)  # anti-remat
             syms += [sym[0], sym[1]]
         return ps_z, z_bin, tuple(syms)
 
@@ -178,11 +183,12 @@ class FastElicGmmCodec:
 
     def _encpass_impl(self, rows, sym_flat, cap_divisor):
         lo, num_bins = self._lo_bins()
-        L = num_bins + 1
         jbin = sym_flat - lo
-        oh = jax.nn.one_hot(jbin, L, dtype=jnp.int32)
-        start = jnp.sum(rows * oh, axis=1)
-        nxt = jnp.sum(rows * jax.nn.one_hot(jbin + 1, L, dtype=jnp.int32), axis=1)
+        # exact masked max-reduce (bf16 MXU one-hot-sum hazard; fast_codec)
+        L = rows.shape[-1]
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        start = jnp.max(jnp.where(bins == jbin[:, None], rows, 0), axis=1)
+        nxt = jnp.max(jnp.where(bins == jbin[:, None] + 1, rows, 0), axis=1)
         freq = (nxt - start).astype(jnp.uint32)
         return _encode_pass(
             sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor

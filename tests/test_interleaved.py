@@ -13,15 +13,23 @@ rng = np.random.default_rng(0)
 
 class TestDivision:
     def test_divmod_u32_u16_exhaustive_random(self):
-        a = rng.integers(0, 2**32, 20000, dtype=np.uint32)
-        f = rng.integers(1, 2**16, 20000, dtype=np.uint32)
+        # precondition (encoder invariant): a < f << 16 (16-bit quotient)
+        f = rng.integers(1, 2**16, 20000, dtype=np.uint64)
+        a = (rng.random(20000) * (f.astype(np.float64) * 2**16)).astype(
+            np.uint64
+        )
+        a = np.minimum(a, (f << 16) - 1).astype(np.uint32)
+        f = f.astype(np.uint32)
         q, r = il.divmod_u32_u16(jnp.asarray(a), jnp.asarray(f))
         np.testing.assert_array_equal(np.asarray(q), a // f)
         np.testing.assert_array_equal(np.asarray(r), a % f)
 
     def test_edge_cases(self):
-        a = np.array([0, 1, 2**32 - 1, 2**16, 2**31], dtype=np.uint32)
-        f = np.array([1, 1, 2**16 - 1, 2, 3], dtype=np.uint32)
+        # boundary values within the a < f << 16 precondition
+        a = np.array([0, 1, 2**16 - 1, 2**16, (65535 << 16) - 1, 2**31],
+                     dtype=np.uint32)
+        f = np.array([1, 1, 1, 2, 65535, 65533], dtype=np.uint32)
+        assert (a.astype(np.uint64) < (f.astype(np.uint64) << 16)).all()
         q, r = il.divmod_u32_u16(jnp.asarray(a), jnp.asarray(f))
         np.testing.assert_array_equal(np.asarray(q), a // f)
         np.testing.assert_array_equal(np.asarray(r), a % f)

@@ -42,9 +42,17 @@ p.add_argument("--out", default="weights/ckbd_gmm_n192_k4_synthetic.npz")
 p.add_argument("--pool", type=int, default=40)
 p.add_argument("--resume", default=None,
                help="npz weights to load before training (fresh optimizer)")
+p.add_argument("--arch", default="ckbd", choices=["ckbd", "elic"])
 args = p.parse_args()
 
-model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
+if args.arch == "elic":
+    from flashgmm_tpu.models.elic_gmm import Elic2022GMM
+
+    model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = "weights/elic_gmm_n192_m320_k4_synthetic.npz"
+else:
+    model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
 if args.resume:
     data = np.load(args.resume)
     state = nnx.state(model, nnx.Param)
