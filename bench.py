@@ -90,21 +90,21 @@ def main():
         for _ in range(N_BATCHES)
     ]
 
-    # ---- single-image path (compile + latency)
-    data, out = codec.encode_to_bytes(single)
-    y_shape = tuple(out["y_hat"].shape[1:])
-    rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
-    rec.block_until_ready()
+    # ---- single-image path: fused single-program latency codec with
+    # on-chip certification (runtime/latency_codec.py)
+    from flashgmm_tpu.runtime import FastLatencyGmmCodec
 
-    rec = codec.decode_bytes(data, y_shape)
+    lat_codec = FastLatencyGmmCodec(model, lanes=1024, cap_divisor=4)
+    data, y_shape4 = lat_codec.encode_certified(single)
+    rec = lat_codec.decode(data, y_shape4)
     rec.block_until_ready()
     mse = float(jnp.mean((rec - single) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-12))
     t0 = time.time()
-    data, _ = codec.encode_to_bytes(single)
+    data, _ = lat_codec.encode_certified(single)
     lat_enc = (time.time() - t0) * 1000
     t0 = time.time()
-    rec = codec.decode_bytes(data, y_shape)
+    rec = lat_codec.decode(data, y_shape4)
     rec.block_until_ready()
     lat_dec = (time.time() - t0) * 1000
 

@@ -4,3 +4,6 @@ __all__ = ["FastCheckerboardGmmCodec", "FastCheckerboardGsmCodec"]
 from .fast_elic import FastElicGmmCodec  # noqa: E402
 
 __all__ += ["FastElicGmmCodec"]
+from .latency_codec import FastLatencyGmmCodec  # noqa: E402
+
+__all__ += ["FastLatencyGmmCodec"]

@@ -1,0 +1,314 @@
+"""Single-program low-latency codec for the checkerboard-GMM flagship.
+
+The shared-subprogram design (fast_codec.FastCheckerboardGmmCodec) needs
+5-8 program launches per direction; on this environment each launch has a
+multi-ms fixed cost, dominating single-image latency. Here the ENTIRE
+encode is ONE XLA program and the entire decode is ONE XLA program.
+
+Correctness model — certification instead of construction: the encoder
+and decoder compile their float CDF math independently, so bit-equality
+between them is NOT structurally guaranteed (XLA may tile/fuse the two
+programs differently). Instead, ``encode_certified`` runs the fused
+encoder AND the fused decoder's y-reconstruction in sequence on-chip and
+compares symbols exactly; a certificate failure (never observed, but
+possible after e.g. an XLA upgrade) falls back to the
+correct-by-construction shared-program codec. Because certification
+exercises the very executable that will later decode the file, a
+certified stream is guaranteed decodable.
+
+Cites: reference single-image flow models/base.py:202-213 (compress/
+decompress); this latency mode has no reference counterpart (the
+reference pays its per-symbol coder on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from flashgmm_tpu.ans import interleaved as il
+from flashgmm_tpu.ans.gaussian_cdf import get_approx_mode, gmm_guarded_rows
+
+from .fast_codec import (
+    PassStream,
+    StreamOverflow,
+    _decode_pass,
+    _encode_pass,
+    apply_transform,
+)
+
+
+class FastLatencyGmmCodec:
+    """One-jit encode / one-jit decode around Cheng2020AnchorCheckerboardGMMv2."""
+
+    def __init__(self, model, lanes: int = 1024, max_abs: int = 47,
+                 cap_divisor: int = 4, bf16_transforms: bool = True,
+                 fallback=None):
+        self.lanes = int(lanes)
+        self.max_abs = int(max_abs)
+        self.cap_divisor = int(cap_divisor)
+        self.bf16_transforms = bool(bf16_transforms)
+        self.mode = get_approx_mode()
+        self._graphdef, self._state = nnx.split(model)
+        self._fallback = fallback  # FastCheckerboardGmmCodec or None
+
+        self._encode_jit = jax.jit(self._encode_impl, static_argnums=(2,))
+        self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(2,))
+        self._decode_full_jit = jax.jit(self._decode_full_impl,
+                                        static_argnums=(2,))
+        self._verify_jit = jax.jit(self._verify_impl, static_argnums=(2,))
+
+    # -- model plumbing (mirrors fast_codec) ---------------------------------
+
+    def _modules(self, state):
+        m = nnx.merge(self._graphdef, state)
+        ckbd = m.latent_codec["y"]
+        hyper = m.latent_codec["hyper"]
+        gmm_lc = ckbd.latent_codec["y"]
+        return m, ckbd, hyper, gmm_lc
+
+    def _z_tables(self, eb):
+        cdf = eb.quantized_cdf.astype(jnp.int32)
+        lengths = eb.cdf_length.astype(jnp.int32)
+        L = cdf.shape[1]
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        rows = jnp.where(j < lengths[:, None], cdf, 65536)
+        return rows, eb.offset.astype(jnp.int32), lengths - 2
+
+    def _z_rows_per_sym(self, z_rows, n_spatial):
+        c_z = z_rows.shape[0]
+        return jnp.broadcast_to(
+            z_rows[None], (n_spatial, c_z, z_rows.shape[1])
+        ).reshape(-1, z_rows.shape[1])
+
+    def _gmm_pass_params(self, ckbd, gmm_lc, y_ctx, side):
+        p = ckbd.entropy_parameters(ckbd.merge(y_ctx, side))
+        scales, means, weights = gmm_lc._chunk(p)
+        weights = gmm_lc._reshape_gmm_weight(weights)
+        K = gmm_lc.K
+
+        def flat(v):
+            b, h, w2, km = v.shape
+            m_ch = km // K
+            v = v.reshape(b, h, w2, K, m_ch)
+            return jnp.moveaxis(v, 3, 4).reshape(-1, K)
+
+        return jnp.clip(flat(scales), 0.11, 256.0), flat(means), flat(weights)
+
+    def _lo_bins(self):
+        lo = jnp.int32(-(self.max_abs + 1))
+        num_bins = 2 * (self.max_abs + 1) + 1
+        return lo, num_bins
+
+    def _lookup(self, rows, jbin):
+        """Exact masked max-reduce (start, freq) lookup (see fast_codec)."""
+        L = rows.shape[-1]
+        bins = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        start = jnp.max(jnp.where(bins == jbin[:, None], rows, 0), axis=1)
+        nxt = jnp.max(jnp.where(bins == jbin[:, None] + 1, rows, 0), axis=1)
+        return start, (nxt - start).astype(jnp.uint32)
+
+    def _rows0(self, ckbd, gmm_lc, side0):
+        lo, num_bins = self._lo_bins()
+        ctx = jnp.zeros_like(side0)
+        s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side0)
+        return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
+
+    def _rows1(self, ckbd, gmm_lc, side1, sym0):
+        lo, num_bins = self._lo_bins()
+        y_hat_ = jnp.stack(
+            [sym0.astype(jnp.float32), jnp.zeros_like(sym0, jnp.float32)]
+        )
+        ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
+        s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side1)
+        return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
+
+    # -- fused programs -------------------------------------------------------
+
+    def _encode_impl(self, state, x, cap_divisor):
+        """ONE program: transforms, quantization, z pass, both y passes."""
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        eb = hyper.entropy_bottleneck
+
+        y = apply_transform(m.g_a, x, self.bf16_transforms)
+        z = apply_transform(hyper.h_a, y, self.bf16_transforms)
+
+        med = eb._get_medians()[:, 0, 0]
+        z_rows, z_off, z_maxbin = self._z_tables(eb)
+        z_bin = jnp.clip(
+            jnp.round(z - med).astype(jnp.int32) - z_off, 0, z_maxbin
+        )
+        z_bin = jax.lax.optimization_barrier(z_bin)  # anti-remat
+
+        zb = z_bin.reshape(-1)
+        rows_per_sym = self._z_rows_per_sym(z_rows, zb.shape[0] // z.shape[-1])
+        Lz = rows_per_sym.shape[-1]
+        zcols = jax.lax.broadcasted_iota(jnp.int32, (1, Lz), 1)
+        z_start = jnp.max(
+            jnp.where(zcols == zb[:, None], rows_per_sym, 0), axis=1
+        )
+        z_nxt = jnp.max(
+            jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1
+        )
+        ps_z = _encode_pass(zb, z_start.astype(jnp.uint32),
+                            (z_nxt - z_start).astype(jnp.uint32),
+                            self.lanes, 1)
+
+        y_ = ckbd.unembed(y)
+        sym = jnp.clip(
+            jnp.round(y_).astype(jnp.int32), -self.max_abs, self.max_abs
+        )
+        sym = jax.lax.optimization_barrier(sym)  # anti-remat
+        sym0, sym1 = sym[0], sym[1]
+
+        z_hat = (z_bin + z_off).astype(jnp.float32) + med
+        side = ckbd.unembed(hyper.h_s(z_hat))
+
+        rows0 = self._rows0(ckbd, gmm_lc, side[0])
+        s0, f0 = self._lookup(rows0, sym0.reshape(-1) - self._lo_bins()[0])
+        ps0 = _encode_pass(sym0.reshape(-1), s0.astype(jnp.uint32), f0,
+                           self.lanes, cap_divisor)
+
+        rows1 = self._rows1(ckbd, gmm_lc, side[1], sym0)
+        s1, f1 = self._lookup(rows1, sym1.reshape(-1) - self._lo_bins()[0])
+        ps1 = _encode_pass(sym1.reshape(-1), s1.astype(jnp.uint32), f1,
+                           self.lanes, cap_divisor)
+
+        y_hat = ckbd.embed(sym.astype(jnp.float32))
+        return ps_z, ps0, ps1, sym0, sym1, y_hat
+
+    def _decode_y_impl(self, state, streams, y_shape):
+        """ONE program: z decode, side, both y passes -> (sym0, sym1, y_hat)."""
+        ps_z, ps0, ps1 = streams
+        b, h, w, c = y_shape
+        m, ckbd, hyper, gmm_lc = self._modules(state)
+        eb = hyper.entropy_bottleneck
+
+        z_rows, z_off, z_maxbin = self._z_tables(eb)
+        zh, zw = h // 4, w // 4
+        n_z = b * zh * zw * eb.channels
+        rows_per_sym = self._z_rows_per_sym(z_rows, b * zh * zw)
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        z_bin = z_bin.reshape(b, zh, zw, eb.channels)
+
+        med = eb._get_medians()[:, 0, 0]
+        z_hat = (z_bin + z_off).astype(jnp.float32) + med
+        side = ckbd.unembed(hyper.h_s(z_hat))
+
+        lo, _ = self._lo_bins()
+        rows0 = self._rows0(ckbd, gmm_lc, side[0])
+        sym0 = _decode_pass(ps0, rows0, rows0.shape[0], lo, self.lanes)
+        sym0 = sym0.reshape(b, h, w // 2, c)
+        rows1 = self._rows1(ckbd, gmm_lc, side[1], sym0)
+        sym1 = _decode_pass(ps1, rows1, rows1.shape[0], lo, self.lanes)
+        sym1 = sym1.reshape(b, h, w // 2, c)
+        y_hat = ckbd.embed(
+            jnp.stack([sym0, sym1]).astype(jnp.float32)
+        )
+        return sym0, sym1, y_hat
+
+    def _decode_full_impl(self, state, streams, y_shape):
+        m, _, _, _ = self._modules(state)
+        _, _, y_hat = self._decode_y_impl(state, streams, y_shape)
+        return jnp.clip(
+            apply_transform(m.g_s, y_hat, self.bf16_transforms), 0.0, 1.0
+        )
+
+    def _verify_impl(self, state, enc_out, y_shape):
+        """Decode-side verification INSIDE one program: certifies that the
+        fused decoder reproduces the encoder's symbols exactly."""
+        ps_z, ps0, ps1, sym0, sym1, _ = enc_out
+        d0, d1, _ = self._decode_y_impl(state, (ps_z, ps0, ps1), y_shape)
+        ok = jnp.logical_and(
+            jnp.all(d0 == sym0), jnp.all(d1 == sym1)
+        )
+        return ok
+
+    # -- public API -----------------------------------------------------------
+
+    def encode_certified(self, x):
+        """Fused encode + on-chip decode certification.
+
+        Returns (data bytes, y_shape). Falls back to the shared-program
+        codec if certification fails or a stream overflows."""
+        enc = self._encode_jit(self._state, x, self.cap_divisor)
+        ps_z, ps0, ps1, sym0, sym1, y_hat = enc
+        y_shape = (x.shape[0], sym0.shape[1], sym0.shape[2] * 2, sym0.shape[3])
+        ok = self._verify_jit(self._state, enc, y_shape)
+        for p in (ps_z, ps0, ps1):
+            for a in (p.n_words, p.states, p.stream):
+                a.copy_to_host_async()
+        try:
+            if bool(ok):
+                return self._serialize((ps_z, ps0, ps1)), y_shape
+        except Exception:
+            pass
+        return self._encode_fallback(x, y_shape)
+
+    def _encode_fallback(self, x, y_shape):
+        if self._fallback is None:
+            from .fast_codec import FastCheckerboardGmmCodec
+
+            model = nnx.merge(self._graphdef, self._state)
+            self._fallback = FastCheckerboardGmmCodec(
+                model, lanes=self.lanes, max_abs=self.max_abs,
+                cap_divisor=self.cap_divisor,
+                bf16_transforms=self.bf16_transforms,
+            )
+        data, _ = self._fallback.encode_to_bytes(x)
+        return data, y_shape
+
+    def _serialize(self, passes):
+        parts = []
+        for p in passes:
+            n = int(np.asarray(p.n_words))
+            stream = np.asarray(p.stream)
+            if n > stream.shape[0]:
+                raise StreamOverflow(f"{n} > {stream.shape[0]}")
+            parts.append(np.uint32(n).tobytes())
+            parts.append(np.asarray(p.states).tobytes())
+            parts.append(stream[:n].tobytes())
+        return b"".join(parts)
+
+    def stream_capacities(self, y_shape):
+        b, h, w, c = y_shape
+        n_y = b * h * (w // 2) * c
+        n_z = b * (h // 4) * (w // 4) * self._z_channels()
+        t_y, _ = il.layout(n_y, self.lanes)
+        t_z, _ = il.layout(n_z, self.lanes)
+        cd = self.cap_divisor
+        return (t_z * self.lanes, max(t_y * self.lanes // cd, self.lanes))
+
+    def _z_channels(self):
+        m = nnx.merge(self._graphdef, self._state)
+        return m.latent_codec["hyper"].entropy_bottleneck.channels
+
+    def from_bytes(self, data: bytes, y_shape):
+        cap_z, cap_y = self.stream_capacities(y_shape)
+        caps = (cap_z, cap_y, cap_y)
+        out = []
+        off = 0
+        w = self.lanes
+        for cap in caps:
+            n = int(np.frombuffer(data, np.uint32, 1, off)[0])
+            off += 4
+            states = np.frombuffer(data, np.uint32, w, off)
+            off += w * 4
+            words = np.frombuffer(data, np.uint16, n, off)
+            off += n * 2
+            if n > cap:
+                cap = max(cap * self.cap_divisor, -(-n // w) * w)
+            stream = np.zeros((cap,), np.uint16)
+            stream[:n] = words
+            out.append(
+                PassStream(np.ascontiguousarray(states), stream, np.int32(n))
+            )
+        return tuple(out)
+
+    def decode(self, data: bytes, y_shape):
+        """ONE program: streams -> x_hat. The bitstream layout matches
+        FastCheckerboardGmmCodec (same PassStream serialization), so files
+        from either codec decode here IF they were encoded by (or certified
+        against) this decoder executable."""
+        streams = self.from_bytes(data, tuple(y_shape))
+        return self._decode_full_jit(self._state, streams, tuple(y_shape))

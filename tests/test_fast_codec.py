@@ -141,3 +141,42 @@ class TestFastGsm:
         # reconstruction runs and is shaped right
         x_hat = codec.decode(streams, y_shape)
         assert x_hat.shape == x.shape
+
+
+class TestLatencyCodec:
+    def test_certified_roundtrip(self):
+        """Fused single-program codec: certified encode must decode to the
+        encoder's reconstruction."""
+        from flashgmm_tpu.runtime import FastLatencyGmmCodec
+
+        net = Cheng2020AnchorCheckerboardGMMv2(N=64, K=2, rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        codec = FastLatencyGmmCodec(net, lanes=64, cap_divisor=1)
+        x = jnp.asarray(
+            np.random.RandomState(9).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        data, y_shape = codec.encode_certified(x)
+        rec = codec.decode(data, y_shape)
+        assert rec.shape == x.shape
+        # decoding twice is deterministic
+        rec2 = codec.decode(data, y_shape)
+        np.testing.assert_array_equal(np.asarray(rec), np.asarray(rec2))
+
+    def test_interop_with_shared_program_codec(self):
+        """The latency codec's bitstream layout matches the shared-program
+        codec's from_bytes."""
+        from flashgmm_tpu.runtime import (
+            FastCheckerboardGmmCodec,
+            FastLatencyGmmCodec,
+        )
+
+        net = Cheng2020AnchorCheckerboardGMMv2(N=64, K=2, rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        lat = FastLatencyGmmCodec(net, lanes=64, cap_divisor=1)
+        x = jnp.asarray(
+            np.random.RandomState(10).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        data, y_shape = lat.encode_certified(x)
+        shared = FastCheckerboardGmmCodec(net, lanes=64, cap_divisor=1)
+        streams = shared.from_bytes(data, tuple(y_shape)[1:])
+        assert set(streams) == {"z", "y0", "y1"}
