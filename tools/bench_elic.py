@@ -1,26 +1,58 @@
-import time, numpy as np, jax
+"""ELIC2022GMM on-chip fast-codec timing on TPU.
+
+Loads trained dead-leaves weights when present
+(weights/elic_gmm_n192_m320_k4_synthetic.npz) so streams code at a
+realistic rate; otherwise random weights (high-entropy upper bound).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from flax import nnx
+
+from flashgmm_tpu.datasets.synthetic import textured_leaves
 from flashgmm_tpu.models.elic_gmm import Elic2022GMM
 from flashgmm_tpu.runtime import FastElicGmmCodec
 
 H, W = 768, 512
 model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
+
+wpath = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "weights/elic_gmm_n192_m320_k4_synthetic.npz")
+trained = False
+if os.path.exists(wpath):
+    data = np.load(wpath)
+    state = nnx.state(model, nnx.Param)
+    flat = nnx.to_flat_state(state)
+    for p, v in flat:
+        keyname = "/".join(str(x) for x in p)
+        if keyname in data:
+            v.value = jnp.asarray(data[keyname].astype(np.float32))
+    nnx.update(model, nnx.from_flat_state(flat))
+    trained = True
 model.update(update_quantiles=True)
 codec = FastElicGmmCodec(model, lanes=512)
-rs = np.random.RandomState(0)
-img = jnp.clip(0.5 + 0.25*(jax.image.resize(jnp.asarray(rs.rand(H//16, W//16, 3).astype(np.float32)), (H, W, 3), "bilinear") - 0.5), 0, 1)[None]
-img = jax.device_put(img)
+img = jax.device_put(jnp.asarray(textured_leaves(H, W, seed=500001))[None])
+
 
 def timeit(f, n=5):
-    r = f(); jax.block_until_ready(r)
+    r = f()
+    jax.block_until_ready(r)
     t0 = time.time()
     for _ in range(n):
         r = f()
     jax.block_until_ready(r)
-    return (time.time()-t0)/n*1000
+    return (time.time() - t0) / n * 1000
+
 
 t_enc = timeit(lambda: codec.encode(img))
 out = codec.encode(img)
@@ -29,4 +61,12 @@ t_dec = timeit(lambda: codec.decode_y_hat(out["streams"], y_shape))
 yh = codec.decode_y_hat(out["streams"], y_shape)
 ok = bool(jnp.all(yh == out["y_hat"]))
 t_full = timeit(lambda: codec.decode(out["streams"], y_shape))
-print(f"ELIC2022GMM 768x512 on-chip: enc {t_enc:.1f} ms, dec_y {t_dec:.1f} ms, dec+g_s {t_full:.1f} ms, exact={ok}, {codec.num_bytes(out)*8/(H*W):.2f} bpp", flush=True)
+rec = codec.decode(out["streams"], y_shape)
+psnr = -10 * np.log10(max(float(jnp.mean((rec - img) ** 2)), 1e-12))
+print(
+    f"ELIC2022GMM 768x512 on-chip ({'trained' if trained else 'random'} "
+    f"weights, dead-leaves): enc {t_enc:.1f} ms, dec_y {t_dec:.1f} ms, "
+    f"dec+g_s {t_full:.1f} ms, exact={ok}, "
+    f"{codec.num_bytes(out)*8/(H*W):.2f} bpp, {psnr:.1f} dB",
+    flush=True,
+)

@@ -130,7 +130,7 @@ for i in range(args.steps):
             ),
             flush=True,
         )
-    if i > 0 and i % 2000 == 0:
+    if i > 0 and i % 1000 == 0:
         bpp, psnr = eval_probe(model, heldout)
         print(
             json.dumps(
