@@ -1,8 +1,9 @@
 """Evaluate a video model on raw YUV sequences
-(cf. compressai/utils/video/eval_model/__main__.py:234+).
+(cf. compressai/utils/video/eval_model/__main__.py:234-588).
 
-Per-frame pipeline: YUV420 -> RGB 444 -> pad -> compress/decompress ->
-PSNR/MS-SSIM + bpp aggregation over the sequence.
+Per-frame pipeline: YUV420 -> RGB 444 -> pad -> compress/decompress (in
+GOP chunks: first frame of each GOP is the keyframe) -> RGB + YUV PSNR,
+MS-SSIM, bpp and enc/dec timing aggregated over the sequence.
 
 Usage:
     python -m flashgmm_tpu.utils.video.eval_model <seq.yuv> [-f N] [--real]
@@ -11,6 +12,7 @@ Usage:
 import argparse
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -30,15 +32,14 @@ def setup_args(argv):
 def main(argv=None):
     args = setup_args(argv)
 
-    import jax
     import jax.numpy as jnp
     from flax import nnx
 
     from flashgmm_tpu.datasets.rawvideo import RawVideoSequence
     from flashgmm_tpu.ops import compute_padding, pad_image, unpad_image
     from flashgmm_tpu.registry import MODELS
-    from flashgmm_tpu.transforms import ycbcr2rgb, yuv_420_to_444
-    from flashgmm_tpu.utils.metrics import psnr
+    from flashgmm_tpu.transforms import rgb2ycbcr, ycbcr2rgb, yuv_420_to_444
+    from flashgmm_tpu.utils.metrics import ms_ssim, psnr
 
     seq = RawVideoSequence(args.sequence)
     model = MODELS[args.architecture](rngs=nnx.Rngs(0))
@@ -63,33 +64,56 @@ def main(argv=None):
     pad, unpad = compute_padding(h, w, min_div=128)
     frames = [pad_image(f, pad) for f in frames]
 
-    results = {"psnr-rgb": [], "bpp": []}
+    results = {
+        "psnr-rgb": [], "psnr-yuv": [], "ms-ssim-rgb": [], "bpp": [],
+    }
+    enc_time = dec_time = 0.0
     num_pixels = h * w
-    if args.real:
-        strings, shapes = model.compress(frames)
-        dec = model.decompress(strings, shapes)
-        nbytes = _count(strings)
-        for f, d in zip(frames, dec):
-            results["psnr-rgb"].append(
-                float(psnr(unpad_image(f, unpad), unpad_image(d, unpad)))
-            )
-        results["bpp"] = [nbytes * 8 / (num_pixels * n_frames)] * n_frames
-    else:
-        out = model(frames, training=False)
-        for f, d, lk in zip(frames, out["x_hat"], out["likelihoods"]):
-            results["psnr-rgb"].append(
-                float(psnr(unpad_image(f, unpad), unpad_image(jnp.clip(d, 0, 1), unpad)))
-            )
-            bits = sum(
-                float(jnp.sum(-jnp.log2(v)))
-                for branch in lk.values() for v in branch.values()
-            )
-            results["bpp"].append(bits / num_pixels)
+
+    def add_quality(ref_pad, dec_pad):
+        ref = unpad_image(ref_pad, unpad)
+        dec = jnp.clip(unpad_image(dec_pad, unpad), 0, 1)
+        results["psnr-rgb"].append(float(psnr(ref, dec)))
+        results["ms-ssim-rgb"].append(float(ms_ssim(ref, dec)))
+        results["psnr-yuv"].append(
+            float(psnr(rgb2ycbcr(ref), rgb2ycbcr(dec)))
+        )
+
+    # process in GOPs: frame 0 of each chunk is the keyframe
+    for g0 in range(0, n_frames, args.gop):
+        gop = frames[g0 : g0 + args.gop]
+        if args.real:
+            t0 = time.time()
+            strings, shapes = model.compress(gop)
+            enc_time += time.time() - t0
+            t0 = time.time()
+            dec = model.decompress(strings, shapes)
+            dec_time += time.time() - t0
+            nbytes = _count(strings)
+            for f, d in zip(gop, dec):
+                add_quality(f, d)
+                results["bpp"].append(nbytes * 8 / (num_pixels * len(gop)))
+        else:
+            out = model(gop, training=False)
+            for f, d, lk in zip(gop, out["x_hat"], out["likelihoods"]):
+                add_quality(f, d)
+                bits = sum(
+                    float(jnp.sum(-jnp.log2(v)))
+                    for branch in lk.values()
+                    for v in branch.values()
+                )
+                results["bpp"].append(bits / num_pixels)
 
     output = {
         "name": args.architecture,
+        "description": f"{args.architecture} "
+                       f"{'real coding' if args.real else 'entropy estimation'}",
         "sequence": args.sequence,
-        "results": {k: float(np.mean(v)) for k, v in results.items()},
+        "results": {
+            **{k: float(np.mean(v)) for k, v in results.items()},
+            "enc_time_per_frame": enc_time / max(n_frames, 1),
+            "dec_time_per_frame": dec_time / max(n_frames, 1),
+        },
     }
     print(json.dumps(output, indent=2))
     if args.output:

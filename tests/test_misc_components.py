@@ -140,3 +140,52 @@ class TestBasicLayers:
         assert out.shape == x.shape
         assert Reshape((2, 2, 4))(x.reshape(1, -1)).shape == (1, 2, 2, 4)
         assert Transpose((0, 3, 1, 2))(x).shape == (1, 4, 2, 2)
+
+
+class TestVideoEvalCLI:
+    def test_entropy_estimation_pipeline(self, tmp_path):
+        """video eval_model CLI end-to-end on a tiny synthetic YUV420
+        sequence (estimation mode): yuv parse -> RGB -> GOP forward ->
+        RGB/YUV metrics."""
+        import io
+        import json
+        from contextlib import redirect_stdout
+
+        import numpy as np
+
+        from flashgmm_tpu.utils.video.eval_model.__main__ import main
+
+        w, h, frames = 64, 64, 2
+        rng = np.random.RandomState(0)
+        seq_path = tmp_path / "test_64x64_24fps_420.yuv"
+        with open(seq_path, "wb") as f:
+            for _ in range(frames):
+                f.write(rng.randint(0, 255, w * h * 3 // 2, dtype=np.uint8
+                                    ).astype(np.uint8).tobytes())
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main([str(seq_path), "-f", "2", "--gop", "2"])
+        assert rc == 0
+        out = json.loads(buf.getvalue())
+        res = out["results"]
+        for k in ("psnr-rgb", "psnr-yuv", "ms-ssim-rgb", "bpp"):
+            assert np.isfinite(res[k]), k
+
+    def test_video_bench_commands(self):
+        """Video bench pipelines construct correct encoder/decoder
+        commands (binaries themselves absent in this environment)."""
+        from flashgmm_tpu.utils.video.bench.__main__ import (
+            _ffmpeg_decode_cmd,
+            _ffmpeg_encode_cmd,
+            _vtm_decode_cmd,
+            _vtm_encode_cmd,
+        )
+
+        enc = _ffmpeg_encode_cmd("libx265", "s.yuv", 640, 480, 30, 27, 16, "o.mkv")
+        assert enc[0] == "ffmpeg" and "-qp" in enc and "libx265" in enc
+        dec = _ffmpeg_decode_cmd("o.mkv", 640, 480, "r.yuv")
+        assert dec[0] == "ffmpeg" and "rawvideo" in dec
+        enc = _vtm_encode_cmd("/b", "cfg", "s.yuv", 640, 480, 30, 32, 16, "o.bin")
+        assert enc[0].endswith("EncoderAppStatic") and "--InputChromaFormat=420" in enc
+        dec = _vtm_decode_cmd("/b", "o.bin", "r.yuv")
+        assert dec[0].endswith("DecoderAppStatic")
