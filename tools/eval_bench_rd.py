@@ -27,6 +27,8 @@ from flashgmm_tpu.utils.metrics import ms_ssim, psnr
 
 p = argparse.ArgumentParser()
 p.add_argument("--images", type=int, default=8)
+p.add_argument("--lanes", type=int, default=512,
+               help="small W: single-image files carry W*4*3 bytes of lane-state overhead")
 p.add_argument("--out", default="results/synthetic/flashgmm_tpu-ckbd-gmm.json")
 args = p.parse_args()
 
@@ -34,7 +36,7 @@ model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
 trained = _load_bench_weights(model)
 assert trained, "bench weights missing"
 model.update(update_quantiles=True)
-codec = FastCheckerboardGmmCodec(model, lanes=4096, cap_divisor=4)
+codec = FastCheckerboardGmmCodec(model, lanes=args.lanes, cap_divisor=4)
 
 H, W = 768, 512
 psnrs, ssims, bpps = [], [], []
