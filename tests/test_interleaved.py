@@ -157,7 +157,7 @@ class TestPallasDecoder:
 
         from flashgmm_tpu.ans.pallas_coder import decode_scan_pallas
 
-        n, w, lo, nb = 1000, 64, -16, 33
+        n, w, lo, nb = 2000, 128, -16, 33  # kernel needs w % 128 == 0
         scales, means, weights = _gmm_params(n)
         values = np.clip(np.round(rng.normal(0, 3, n)), lo + 1, -lo - 1).astype(np.int32)
         start, freq = gmm_guarded_bounds(
