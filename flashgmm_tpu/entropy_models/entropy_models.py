@@ -677,12 +677,31 @@ class GaussianMixtureConditional(GaussianConditional):
         )
 
         max_bs = self._round_max_bs(abs_max)
-        rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
-        rv = self.entropy_coder._encoder.encode_rows(symbols, rows, -max_bs)
+        if self._host_math():
+            # reference-bitstream interop mode: CDFs evaluated on the CPU
+            # with the reference's exact f32 formulas — streams are
+            # byte-identical to the actual C++ reference coder
+            # (tests/test_reference_golden.py proves both directions)
+            from flashgmm_tpu.ans import cext
+
+            rv = cext.encode_gmm_host(
+                symbols, s_np, m_np, w_np, get_approx_mode()
+            )
+        else:
+            rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
+            rv = self.entropy_coder._encoder.encode_rows(symbols, rows, -max_bs)
 
         return (rv, abs_max, jnp.asarray(zero_bitmap)), jnp.asarray(
             y_quantized.astype(np.float32)
         )
+
+    @staticmethod
+    def _host_math() -> bool:
+        """FLASHGMM_HOST_MATH=1 switches the real-coding path to the
+        reference-exact host-math coder (cf. docs/bitstream.md)."""
+        import os
+
+        return os.environ.get("FLASHGMM_HOST_MATH") == "1"
 
     def decompress(self, strings, abs_max, zero_bitmap, scales, means, weights):
         zero_bitmap = np.asarray(jax.device_get(zero_bitmap))
@@ -693,8 +712,17 @@ class GaussianMixtureConditional(GaussianConditional):
             scales, means, weights, nonzero
         )
         max_bs = self._round_max_bs(int(abs_max))
-        rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
-        symbols = self.entropy_coder._decoder.decode_rows(strings, rows, -max_bs)
+        if self._host_math():
+            from flashgmm_tpu.ans import cext
+
+            symbols = cext.decode_gmm_host(
+                strings, s_np, m_np, w_np, max_bs, get_approx_mode()
+            )
+        else:
+            rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
+            symbols = self.entropy_coder._decoder.decode_rows(
+                strings, rows, -max_bs
+            )
 
         symbols = symbols.reshape(b, len(nonzero), h, w)
         y_hat = np.zeros((b, zero_bitmap.shape[0], h, w), np.float32)

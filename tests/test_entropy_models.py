@@ -183,3 +183,36 @@ class TestGaussianMixtureConditional:
         )
         y_hat = gmm.decompress(string, abs_max, zero_bitmap, scales, means, weights)
         np.testing.assert_allclose(y_hat, jnp.round(x), atol=1e-6)
+
+
+class TestHostMathMode:
+    def test_gmm_model_roundtrip_host_math(self, monkeypatch):
+        """FLASHGMM_HOST_MATH=1 routes model-level GMM coding through the
+        reference-exact host coder; round-trip must stay exact."""
+        import numpy as _np
+
+        from flashgmm_tpu.ans import cext
+        from flashgmm_tpu.entropy_models import GaussianMixtureConditional
+
+        if not cext.available():
+            import pytest as _pytest
+
+            _pytest.skip("host coder unavailable")
+        monkeypatch.setenv("FLASHGMM_HOST_MATH", "1")
+        em = GaussianMixtureConditional(K=2)
+        rng = _np.random.RandomState(5)
+        b, h, w, m = 1, 8, 8, 6
+        y = jnp.asarray(rng.randn(b, h, w, m).astype(_np.float32) * 3)
+        scales = jnp.asarray(
+            rng.rand(b, h, w, 2 * m).astype(_np.float32) * 2 + 0.2
+        )
+        means = jnp.asarray(rng.randn(b, h, w, 2 * m).astype(_np.float32))
+        weights = jnp.asarray(
+            jax.nn.softmax(
+                jnp.asarray(rng.randn(b, h, w, 2, m).astype(_np.float32)),
+                axis=3,
+            ).reshape(b, h, w, 2 * m)
+        )
+        (s, abs_max, bitmap), y_q = em.compress(y, scales, means, weights)
+        y_hat = em.decompress(s, abs_max, bitmap, scales, means, weights)
+        _np.testing.assert_array_equal(_np.asarray(y_hat), _np.asarray(y_q))
