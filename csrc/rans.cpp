@@ -195,6 +195,97 @@ inline float logistic_cdf(float x) {
   return 1.0f / (1.0f + std::exp(-1.702f * x));
 }
 
+// ---- SIMD-equivalent variants (USE_SIMD=1, the reference default) ----------
+// The reference's AVX2 kernels (rans_interface.cpp:119-292) use the Cephes
+// polynomial exp256_ps (avx_mathfun.h:250-305) instead of libm expf, and a
+// pairwise hadd reduction for the K=4 mixture.  Every AVX op involved
+// (mul/add/sub/div/sqrt/min/max/floor/fma) is a correctly-rounded per-lane
+// f32 op, so this scalar transcription — same constants, same op order,
+// fmaf exactly where the reference BINARY has one (explicit _mm256_fmadd_ps
+// plus the two mul+add pairs gcc -ffp-contract=fast contracts in the A&S
+// path; this file is compiled -ffp-contract=off so nothing else fuses) —
+// is bitwise identical to the SIMD lanes
+// (tests/test_reference_golden.py::test_gmm_k4_encode_byte_identical[*-1]).
+
+inline float exp_cephes(float x) {
+  constexpr float kExpHi = 88.3762626647949f;
+  constexpr float kExpLo = -88.3762626647949f;
+  constexpr float kLog2E = 1.44269504088896341f;
+  constexpr float kC1 = 0.693359375f;
+  constexpr float kC2 = -2.12194440e-4f;
+  constexpr float kP0 = 1.9875691500E-4f;
+  constexpr float kP1 = 1.3981999507E-3f;
+  constexpr float kP2 = 8.3334519073E-3f;
+  constexpr float kP3 = 4.1665795894E-2f;
+  constexpr float kP4 = 1.6666665459E-1f;
+  constexpr float kP5 = 5.0000001201E-1f;
+  x = std::min(x, kExpHi);
+  x = std::max(x, kExpLo);
+  float fx = x * kLog2E;
+  fx = fx + 0.5f;
+  float tmp = std::floor(fx);
+  if (tmp > fx) tmp = tmp - 1.0f;  // cmp_gt mask subtract
+  fx = tmp;
+  tmp = fx * kC1;
+  float z = fx * kC2;
+  x = x - tmp;
+  x = x - z;
+  z = x * x;
+  float y = kP0;
+  y = y * x + kP1;
+  y = y * x + kP2;
+  y = y * x + kP3;
+  y = y * x + kP4;
+  y = y * x + kP5;
+  y = y * z + x;
+  y = y + 1.0f;
+  int32_t imm0 = static_cast<int32_t>(fx);  // cvttps: truncate
+  imm0 = (imm0 + 0x7f) << 23;
+  float pow2n;
+  std::memcpy(&pow2n, &imm0, sizeof(pow2n));
+  return y * pow2n;
+}
+
+inline float polya_cdf_simd(float x) {
+  constexpr float kMinusTwoInvPi = -2.0f / kPi;
+  float x_sq = x * x;
+  float after_exp = exp_cephes(kMinusTwoInvPi * x_sq);
+  float after_sqrt = std::sqrt(1.0f - after_exp);
+  return 0.5f * (1.0f + std::copysign(after_sqrt, x));
+}
+
+inline float as_cdf_simd(float x) {
+  constexpr float p = 0.2316419f;
+  constexpr float b1 = 0.319381530f;
+  constexpr float b2 = -0.356563782f;
+  constexpr float b3 = 1.781477937f;
+  constexpr float b4 = -1.821255978f;
+  constexpr float b5 = 1.330274429f;
+  float abs_x = std::fabs(x);
+  float x_sq = x * x;
+  float z_x = kInvSqrt2Pi * exp_cephes(x_sq * -0.5f);
+  // gcc -ffp-contract=fast contracts the _mm256_mul_ps/_mm256_add_ps pairs
+  // below into FMAs in the reference binary (GCC lowers these intrinsics to
+  // plain vector mul/add, so contraction applies to them just as it does to
+  // the scalar path) — verified against recorded streams, like the scalar
+  // as_cdf above.  exp256_ps and the Pólya/logistic paths are NOT
+  // contracted in that binary (modes 0/2 match with plain ops).
+  float t = 1.0f / std::fmaf(p, abs_x, 1.0f);
+  float poly = std::fmaf(b5, t, b4);
+  poly = std::fmaf(poly, t, b3);
+  poly = std::fmaf(poly, t, b2);
+  poly = std::fmaf(poly, t, b1);
+  poly = poly * t;
+  float res_pos = std::fmaf(-z_x, poly, 1.0f);
+  // blendv selects by the SIGN BIT (so -0.0f takes the negative branch)
+  return std::signbit(x) ? 1.0f - res_pos : res_pos;
+}
+
+inline float logistic_cdf_simd(float x) {
+  float exp_res = exp_cephes(-1.0f * (1.702f * x));
+  return 1.0f / (1.0f + exp_res);
+}
+
 inline float gaussian_cdf(float x, int mode) {
   switch (mode) {
     case 1: return as_cdf(x);
@@ -203,8 +294,29 @@ inline float gaussian_cdf(float x, int mode) {
   }
 }
 
+inline float gaussian_cdf_simd(float x, int mode) {
+  switch (mode) {
+    case 1: return as_cdf_simd(x);
+    case 2: return logistic_cdf_simd(x);
+    default: return polya_cdf_simd(x);
+  }
+}
+
 inline void gmm_cdf2(float x1, float x2, const float* means, const float* scales,
-                     const float* weights, int K, int mode, float* c1, float* c2) {
+                     const float* weights, int K, int mode, int use_simd,
+                     float* c1, float* c2) {
+  // The reference takes its SIMD path only for K==4 (rans_interface.cpp:259)
+  if (use_simd && K == 4) {
+    float a[4], b[4];
+    for (int k = 0; k < 4; ++k) {
+      a[k] = weights[k] * gaussian_cdf_simd((x1 - means[k]) / scales[k], mode);
+      b[k] = weights[k] * gaussian_cdf_simd((x2 - means[k]) / scales[k], mode);
+    }
+    // _mm_hadd_ps x2: pairwise reduction (c0+c1)+(c2+c3)
+    *c1 = (a[0] + a[1]) + (a[2] + a[3]);
+    *c2 = (b[0] + b[1]) + (b[2] + b[3]);
+    return;
+  }
   float a = 0.0f, b = 0.0f;
   for (int k = 0; k < K; ++k) {
     a += weights[k] * gaussian_cdf((x1 - means[k]) / scales[k], mode);
@@ -393,14 +505,15 @@ int64_t fg_decode_rows(const uint8_t* data, int64_t nbytes, const uint16_t* rows
 
 int64_t fg_encode_gmm_host(const int32_t* values, int64_t n, const float* scales,
                            const float* means, const float* weights, int32_t K,
-                           int32_t approx_mode, uint8_t* out, int64_t capacity) {
+                           int32_t approx_mode, int32_t use_simd, uint8_t* out,
+                           int64_t capacity) {
   SymbolBuffer buf;
   for (int64_t i = 0; i < n; ++i) {
     const int32_t v = values[i];
     float c1, c2;
     gmm_cdf2(static_cast<float>(v) - 0.5f, static_cast<float>(v) - 0.5f + 1.0f,
              means + i * K, scales + i * K, weights + i * K, K, approx_mode,
-             &c1, &c2);
+             use_simd, &c1, &c2);
     const uint32_t cdf_value = static_cast<uint16_t>(c1 * kMaxCdfValue);
     const uint32_t cdf_next = static_cast<uint16_t>(c2 * kMaxCdfValue);
     const uint32_t pmf = static_cast<uint16_t>(cdf_next - cdf_value);
@@ -417,7 +530,7 @@ int64_t fg_encode_gmm_host(const int32_t* values, int64_t n, const float* scales
 int64_t fg_decode_gmm_host(const uint8_t* data, int64_t nbytes, int64_t n,
                            const float* scales, const float* means,
                            const float* weights, int32_t K, int32_t max_bs_value,
-                           int32_t approx_mode, int32_t* out) {
+                           int32_t approx_mode, int32_t use_simd, int32_t* out) {
   Decoder dec(data, nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const uint32_t cum_freq = dec.peek();
@@ -436,7 +549,7 @@ int64_t fg_decode_gmm_host(const uint8_t* data, int64_t nbytes, int64_t n,
       float c1, c2;
       gmm_cdf2(static_cast<float>(mid) - 0.5f,
                static_cast<float>(mid) - 0.5f + 1.0f, m, s, w, K, approx_mode,
-               &c1, &c2);
+               use_simd, &c1, &c2);
       c1q = static_cast<uint16_t>(c1 * kMaxCdfValue);
       c2q = static_cast<uint16_t>(c2 * kMaxCdfValue);
       if (c1q <= cum_freq && c2q > cum_freq) break;
@@ -518,6 +631,6 @@ void fg_decoder_free(void* handle) {
 }
 
 // Build info probe so Python can detect a stale shared library.
-int32_t fg_abi_version() { return 5; }
+int32_t fg_abi_version() { return 7; }
 
 }  // extern "C"

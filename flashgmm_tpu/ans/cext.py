@@ -11,7 +11,7 @@ import threading
 
 import numpy as np
 
-_ABI_VERSION = 5
+_ABI_VERSION = 7
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "rans.cpp"))
@@ -76,9 +76,9 @@ def _declare(lib):
     lib.fg_decode_rows.restype = i64
     lib.fg_decode_rows.argtypes = [u8p, i64, u16p, i64, i64, i32, i32p]
     lib.fg_encode_gmm_host.restype = i64
-    lib.fg_encode_gmm_host.argtypes = [i32p, i64, f32p, f32p, f32p, i32, i32, u8p, i64]
+    lib.fg_encode_gmm_host.argtypes = [i32p, i64, f32p, f32p, f32p, i32, i32, i32, u8p, i64]
     lib.fg_decode_gmm_host.restype = i64
-    lib.fg_decode_gmm_host.argtypes = [u8p, i64, i64, f32p, f32p, f32p, i32, i32, i32, i32p]
+    lib.fg_decode_gmm_host.argtypes = [u8p, i64, i64, f32p, f32p, f32p, i32, i32, i32, i32, i32p]
     lib.fg_decoder_new.restype = ctypes.c_void_p
     lib.fg_decoder_new.argtypes = [u8p, i64]
     lib.fg_decoder_decode.restype = i64
@@ -188,8 +188,20 @@ def decode_rows(encoded: bytes, rows, lo: int):
     return out
 
 
-def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> bytes:
+def get_use_simd() -> int:
+    """Reference USE_SIMD env semantics (rans_interface.cpp:119-130):
+    enabled unless the env var is exactly "0". The SIMD and scalar reference
+    paths produce DIFFERENT bitstreams (Cephes exp + hadd reduction vs libm
+    exp + sequential sum), so this must mirror the encoding side's setting."""
+    import os
+
+    return 0 if os.environ.get("USE_SIMD") == "0" else 1
+
+
+def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0,
+                    use_simd=None) -> bytes:
     lib = _load()
+    use_simd = get_use_simd() if use_simd is None else int(use_simd)
     values = np.ascontiguousarray(values, dtype=np.int32).ravel()
     scales = np.ascontiguousarray(scales, dtype=np.float32)
     means = np.ascontiguousarray(means, dtype=np.float32)
@@ -199,7 +211,7 @@ def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> byt
     nbytes = lib.fg_encode_gmm_host(
         _ptr(values, ctypes.c_int32), values.shape[0],
         _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
-        _ptr(weights, ctypes.c_float), K, int(approx_mode),
+        _ptr(weights, ctypes.c_float), K, int(approx_mode), use_simd,
         _ptr(out, ctypes.c_uint8), out.shape[0])
     nbytes = _check_rc(nbytes)
     if nbytes < 0:
@@ -207,7 +219,7 @@ def encode_gmm_host(values, scales, means, weights, approx_mode: int = 0) -> byt
         nbytes = lib.fg_encode_gmm_host(
             _ptr(values, ctypes.c_int32), values.shape[0],
             _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
-            _ptr(weights, ctypes.c_float), K, int(approx_mode),
+            _ptr(weights, ctypes.c_float), K, int(approx_mode), use_simd,
             _ptr(out, ctypes.c_uint8), out.shape[0])
     return out[:nbytes].tobytes()
 
@@ -220,7 +232,8 @@ def encode_gsm_host(values, scales, approx_mode: int = 0) -> bytes:
     scales = np.ascontiguousarray(scales, dtype=np.float32).reshape(-1, 1)
     zeros = np.zeros_like(scales)
     ones = np.ones_like(scales)
-    return encode_gmm_host(values, scales, zeros, ones, approx_mode)
+    return encode_gmm_host(values, scales, zeros, ones, approx_mode,
+                           use_simd=0)
 
 
 def decode_gsm_host(encoded: bytes, scales, max_bs_value: int,
@@ -230,7 +243,7 @@ def decode_gsm_host(encoded: bytes, scales, max_bs_value: int,
     zeros = np.zeros_like(scales)
     ones = np.ones_like(scales)
     return decode_gmm_host(encoded, scales, zeros, ones, max_bs_value,
-                           approx_mode)
+                           approx_mode, use_simd=0)
 
 
 class StreamingDecoder:
@@ -270,8 +283,9 @@ class StreamingDecoder:
 
 
 def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,
-                    approx_mode: int = 0):
+                    approx_mode: int = 0, use_simd=None):
     lib = _load()
+    use_simd = get_use_simd() if use_simd is None else int(use_simd)
     scales = np.ascontiguousarray(scales, dtype=np.float32)
     means = np.ascontiguousarray(means, dtype=np.float32)
     weights = np.ascontiguousarray(weights, dtype=np.float32)
@@ -281,5 +295,5 @@ def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,
         _ptr(data, ctypes.c_uint8), data.shape[0], scales.shape[0],
         _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
         _ptr(weights, ctypes.c_float), scales.shape[1], int(max_bs_value),
-        int(approx_mode), _ptr(out, ctypes.c_int32))
+        int(approx_mode), use_simd, _ptr(out, ctypes.c_int32))
     return out

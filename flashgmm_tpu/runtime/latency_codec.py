@@ -8,13 +8,17 @@ encode is ONE XLA program and the entire decode is ONE XLA program.
 Correctness model — certification instead of construction: the encoder
 and decoder compile their float CDF math independently, so bit-equality
 between them is NOT structurally guaranteed (XLA may tile/fuse the two
-programs differently). Instead, ``encode_certified`` runs the fused
-encoder AND the fused decoder's y-reconstruction in sequence on-chip and
-compares symbols exactly; a certificate failure (never observed, but
-possible after e.g. an XLA upgrade) falls back to the
-correct-by-construction shared-program codec. Because certification
-exercises the very executable that will later decode the file, a
-certified stream is guaranteed decodable.
+programs differently). Instead, ``encode_certified`` serializes the
+streams, feeds the bytes through the SAME ``from_bytes`` +
+``_decode_full_jit`` executable that ``decode()`` runs (identical shapes
+→ identical compiled program), and compares the decoded ``y_hat``
+against the encoder's on-chip; only the trivial elementwise-equality
+reduction runs in its own small program. A certificate failure (never
+observed, but possible after e.g. an XLA upgrade) falls back to the
+shared-program codec — and the fallback bytes are themselves certified
+against this decoder; if even that fails, the stream is remembered and
+``decode()`` routes it through the fallback codec's own decoder, so no
+uncertified (encoder, decoder) pairing can ever be returned.
 
 Cites: reference single-image flow models/base.py:202-213 (compress/
 decompress); this latency mode has no reference counterpart (the
@@ -56,7 +60,10 @@ class FastLatencyGmmCodec:
         self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(2,))
         self._decode_full_jit = jax.jit(self._decode_full_impl,
                                         static_argnums=(2,))
-        self._verify_jit = jax.jit(self._verify_impl, static_argnums=(2,))
+        # trivial integer-equality reduction; its own (fusion-insensitive)
+        # program so certification can reuse _decode_full_jit itself
+        self._cmp_jit = jax.jit(lambda a, b: jnp.all(a == b))
+        self._fallback_digests = set()
 
     # -- model plumbing (mirrors fast_codec) ---------------------------------
 
@@ -208,41 +215,77 @@ class FastLatencyGmmCodec:
         return sym0, sym1, y_hat
 
     def _decode_full_impl(self, state, streams, y_shape):
+        """Production decode executable: streams -> (x_hat, y_hat).
+
+        y_hat (integer-valued floats) is returned so certification can
+        compare THIS executable's reconstruction against the encoder's —
+        not a separately-compiled replica of it."""
         m, _, _, _ = self._modules(state)
         _, _, y_hat = self._decode_y_impl(state, streams, y_shape)
-        return jnp.clip(
+        x_hat = jnp.clip(
             apply_transform(m.g_s, y_hat, self.bf16_transforms), 0.0, 1.0
         )
-
-    def _verify_impl(self, state, enc_out, y_shape):
-        """Decode-side verification INSIDE one program: certifies that the
-        fused decoder reproduces the encoder's symbols exactly."""
-        ps_z, ps0, ps1, sym0, sym1, _ = enc_out
-        d0, d1, _ = self._decode_y_impl(state, (ps_z, ps0, ps1), y_shape)
-        ok = jnp.logical_and(
-            jnp.all(d0 == sym0), jnp.all(d1 == sym1)
-        )
-        return ok
+        return x_hat, y_hat
 
     # -- public API -----------------------------------------------------------
 
-    def encode_certified(self, x):
-        """Fused encode + on-chip decode certification.
+    def _certify_bytes(self, data, y_shape, y_hat_expected):
+        """True iff the production decode executable reproduces the
+        encoder's y_hat exactly from these bytes."""
+        try:
+            streams = self.from_bytes(data, tuple(y_shape))
+            _, y_dec = self._decode_full_jit(self._state, streams,
+                                             tuple(y_shape))
+            return bool(self._cmp_jit(y_dec, y_hat_expected))
+        except Exception:
+            return False
 
-        Returns (data bytes, y_shape). Falls back to the shared-program
-        codec if certification fails or a stream overflows."""
+    def _streams_match_decode_layout(self, passes, y_shape):
+        """True iff the encoder's device streams have exactly the shapes
+        ``from_bytes`` would produce — then feeding them to
+        ``_decode_full_jit`` hits the SAME compiled executable ``decode()``
+        uses (both sides are zero-padded to capacity, so contents match
+        the byte round-trip too)."""
+        cap_z, cap_y = self.stream_capacities(y_shape)
+        return tuple(int(p.stream.shape[0]) for p in passes) == (
+            cap_z, cap_y, cap_y
+        )
+
+    def encode_certified(self, x):
+        """Fused encode + certification against the production decoder.
+
+        Returns (data bytes, y_shape). The returned bytes are ALWAYS
+        decodable by ``decode()``: either they passed certification
+        against the exact ``_decode_full_jit`` executable, or they are
+        fallback-codec bytes (themselves certified, or remembered and
+        routed through the fallback decoder). When the encoder's device
+        streams already have ``from_bytes`` shapes (the normal case),
+        certification runs on-chip with no extra host round trip,
+        overlapped with the stream fetch."""
         enc = self._encode_jit(self._state, x, self.cap_divisor)
         ps_z, ps0, ps1, sym0, sym1, y_hat = enc
         y_shape = (x.shape[0], sym0.shape[1], sym0.shape[2] * 2, sym0.shape[3])
-        ok = self._verify_jit(self._state, enc, y_shape)
-        for p in (ps_z, ps0, ps1):
+        passes = (ps_z, ps0, ps1)
+        ok_dev = None
+        if self._streams_match_decode_layout(passes, y_shape):
+            _, y_dec = self._decode_full_jit(self._state, passes,
+                                             tuple(y_shape))
+            ok_dev = self._cmp_jit(y_dec, y_hat)
+        for p in passes:
             for a in (p.n_words, p.states, p.stream):
                 a.copy_to_host_async()
         try:
-            if bool(ok):
-                return self._serialize((ps_z, ps0, ps1)), y_shape
-        except Exception:
-            pass
+            data = self._serialize(passes)
+        except StreamOverflow:
+            data = None
+        if data is not None:
+            try:
+                certified = bool(ok_dev) if ok_dev is not None \
+                    else self._certify_bytes(data, y_shape, y_hat)
+            except Exception:
+                certified = False
+            if certified:
+                return data, y_shape
         return self._encode_fallback(x, y_shape)
 
     def _encode_fallback(self, x, y_shape):
@@ -255,7 +298,12 @@ class FastLatencyGmmCodec:
                 cap_divisor=self.cap_divisor,
                 bf16_transforms=self.bf16_transforms,
             )
-        data, _ = self._fallback.encode_to_bytes(x)
+        data, enc = self._fallback.encode_to_bytes(x)
+        # cross-executable pairing check: fallback bytes through OUR decoder
+        if not self._certify_bytes(data, y_shape, enc["y_hat"]):
+            import hashlib
+
+            self._fallback_digests.add(hashlib.sha256(data).hexdigest())
         return data, y_shape
 
     def _serialize(self, passes):
@@ -307,8 +355,14 @@ class FastLatencyGmmCodec:
 
     def decode(self, data: bytes, y_shape):
         """ONE program: streams -> x_hat. The bitstream layout matches
-        FastCheckerboardGmmCodec (same PassStream serialization), so files
-        from either codec decode here IF they were encoded by (or certified
-        against) this decoder executable."""
+        FastCheckerboardGmmCodec (same PassStream serialization). Streams
+        that failed cross-certification at encode time are routed through
+        the fallback codec's own decoder."""
+        if self._fallback_digests:
+            import hashlib
+
+            if hashlib.sha256(data).hexdigest() in self._fallback_digests:
+                return self._fallback.decode_bytes(data, tuple(y_shape))
         streams = self.from_bytes(data, tuple(y_shape))
-        return self._decode_full_jit(self._state, streams, tuple(y_shape))
+        x_hat, _ = self._decode_full_jit(self._state, streams, tuple(y_shape))
+        return x_hat

@@ -26,10 +26,16 @@ def _ssim_components(a, b, max_val=1.0, k1=0.01, k2=0.03):
     kernel = jnp.tile(win, (1, 1, 1, c))
 
     def filt(x):
+        # Precision.HIGHEST is load-bearing: the TPU default routes this
+        # 11x11 window conv through the MXU in bf16, and the variance terms
+        # below (filt(a*a) - mu^2) catastrophically cancel — that silently
+        # shipped a 0.985 -> 0.825 "MS-SSIM regression" in round 2 while
+        # PSNR (elementwise, f32) stayed correct.  CPU was always f32.
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_a, mu_b = filt(a), filt(b)

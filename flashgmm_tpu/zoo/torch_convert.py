@@ -45,11 +45,20 @@ def _to_np(t):
 
 
 def _torch_path(path):
-    """nnx graph path -> torch module path (drop Sequential 'layers' level)."""
+    """nnx graph path -> torch module path.
+
+    Drops our Sequential 'layers' level, and every non-leading
+    'latent_codec' dict level: the reference registers sub-codecs with
+    ``save_direct=True`` (latent_codecs/base.py:50-76), so e.g. our
+    ``latent_codec.latent_codec.y`` is torch's ``latent_codec.y`` (the
+    leading element is the model's own attribute and is kept).
+    """
     parts = []
-    for p in path:
+    for i, p in enumerate(path):
         s = str(p)
         if s == "layers":
+            continue
+        if s == "latent_codec" and i > 0:
             continue
         parts.append(s)
     return ".".join(parts)

@@ -95,18 +95,25 @@ def test_gsm_decodes_reference_bitstream(mode):
     assert np.array_equal(dec, g["symbols"])
 
 
+@pytest.mark.parametrize("simd", [0, 1])
 @pytest.mark.parametrize("mode", [0, 1, 2])
-def test_gmm_k4_encode_byte_identical(mode):
-    g = _load(f"gmm_k4_mode{mode}_simd0.npz")
+def test_gmm_k4_encode_byte_identical(mode, simd):
+    """Both reference CDF paths: scalar (libm exp, sequential sum) and AVX2
+    (Cephes exp256_ps, pairwise hadd) — they produce DIFFERENT streams and
+    our host coder reproduces each bit-exactly (csrc/rans.cpp simd
+    variants; cf. rans_interface.cpp:119-292)."""
+    g = _load(f"gmm_k4_mode{mode}_simd{simd}.npz")
     ours = cext.encode_gmm_host(
-        g["symbols"], g["scales"], g["means"], g["weights"], approx_mode=mode
+        g["symbols"], g["scales"], g["means"], g["weights"], approx_mode=mode,
+        use_simd=simd,
     )
     assert ours == g["bitstream"].tobytes()
 
 
+@pytest.mark.parametrize("simd", [0, 1])
 @pytest.mark.parametrize("mode", [0, 1, 2])
-def test_gmm_k4_decodes_reference_bitstream(mode):
-    g = _load(f"gmm_k4_mode{mode}_simd0.npz")
+def test_gmm_k4_decodes_reference_bitstream(mode, simd):
+    g = _load(f"gmm_k4_mode{mode}_simd{simd}.npz")
     dec = cext.decode_gmm_host(
         g["bitstream"].tobytes(),
         g["scales"],
@@ -114,6 +121,7 @@ def test_gmm_k4_decodes_reference_bitstream(mode):
         g["weights"],
         int(g["max_bs_value"]),
         approx_mode=mode,
+        use_simd=simd,
     )
     assert np.array_equal(dec, g["symbols"])
 

@@ -1,0 +1,276 @@
+"""Record MODEL-LEVEL interop goldens from the actual reference network.
+
+Closes the north-star loop at the full-model rung (VERDICT r2 item 1):
+instantiates the reference PyTorch ``Cheng2020AnchorCheckerboardGMMv2``
+(/root/reference/compressai/models/ckbd_gmm.py:61-141) with weights
+exported from a seeded flashgmm_tpu model, runs its real
+``compress()``/``decompress()`` (models/base.py:202-213) through the built
+reference C++ coder, and records the complete model-level container
+(EB z-strings + per-pass GMM (bytes, abs_max, zero_bitmap)) plus every
+intermediate tensor (z, z_hat, per-pass params/symbols/y_hat, x_hat).
+
+tests/test_model_interop.py consumes this to prove:
+  * torch<->jax checkpoint conversion fidelity at every pipeline stage,
+  * byte-identical z-branch exchange with NO transplants,
+  * byte-identical per-pass GMM container given bitwise-equal params,
+  * symbol-exact y_hat equality of the full model-level compress.
+
+The candidate crop is screened so that no torch-vs-jax float difference
+sits within MARGIN of a round() boundary — making the goldens robust to
+cross-backend ulp noise (the only fundamental nondeterminism; see
+docs/bitstream.md "Model-level interop").
+
+APPROX_MODE/USE_SIMD are latched in C++ statics on first use, so the
+recording runs with APPROX_MODE=0, USE_SIMD=1 (reference defaults).
+
+Usage: python tools/record_model_interop_goldens.py [--arch ckbd|elic]
+"""
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.join(REPO, "tests", "expected", "reference")
+
+os.environ.setdefault("APPROX_MODE", "0")
+os.environ.setdefault("USE_SIMD", "1")
+
+import numpy as np
+
+
+def nchw(a):
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (0, 3, 1, 2)))
+
+
+def nhwc(a):
+    return np.ascontiguousarray(np.transpose(np.asarray(a), (0, 2, 3, 1)))
+
+
+def build_our_model(arch, seed=7):
+    from flax import nnx
+
+    if arch == "ckbd":
+        from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
+
+        return Cheng2020AnchorCheckerboardGMMv2(N=64, K=4, rngs=nnx.Rngs(seed))
+    from flashgmm_tpu.models.elic_gmm import Elic2022GMM
+
+    return Elic2022GMM(N=64, M=160, K=4, rngs=nnx.Rngs(seed))
+
+
+def scale_last_convs(ours, arch, s_y, s_z):
+    """Scale the final g_a/h_a convs so random-init latents are
+    non-degenerate (spread over many integers, several nonzero channels)."""
+    import jax.numpy as jnp
+
+    def scale(conv, s):
+        conv.kernel.value = conv.kernel.value * s
+        if conv.bias is not None:
+            conv.bias.value = conv.bias.value * s
+
+    ga = ours.g_a.layers[-1]
+    scale(ga, s_y)
+    hyper = ours.latent_codec.latent_codec["hyper"]
+    ha = hyper.h_a.layers[-1]
+    scale(ha, s_z)
+    return ours
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="ckbd", choices=["ckbd", "elic"])
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from tools.ref_bridge import import_reference_compressai
+
+    import_reference_compressai()
+    import torch
+
+    from compressai.entropy_models import (
+        EntropyBottleneck as RefEB,
+        GaussianMixtureConditional as RefGMM,
+    )
+
+    if args.arch == "ckbd":
+        from compressai.models.ckbd_gmm import (
+            Cheng2020AnchorCheckerboardGMMv2 as RefModel,
+        )
+
+        ref = RefModel(N=64, K=4)
+    else:
+        from compressai.models.elic_gmm import Elic2022GMM as RefModel
+
+        ref = RefModel(N=64, M=160, K=4)
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from flashgmm_tpu.datasets.synthetic import dead_leaves
+    from flashgmm_tpu.zoo.torch_convert import load_torch_state_dict
+    from flashgmm_tpu.zoo.torch_export import (
+        export_torch_state_dict,
+        load_into_torch_model,
+    )
+
+    torch.manual_seed(0)
+    torch.set_num_threads(4)
+
+    ours = build_our_model(args.arch)
+    # calibrate latent spread: target std ~2.5 for y, ~1.5 for z
+    x_cal = dead_leaves(256, 384, seed=123).astype(np.float32)[None]  # HWC
+    y_std = float(np.std(np.asarray(ours.g_a(jnp.asarray(x_cal)))))
+    ours = scale_last_convs(ours, args.arch, 2.5 / y_std, 1.0)
+    hyper = ours.latent_codec.latent_codec["hyper"]
+    z_std = float(
+        np.std(np.asarray(hyper.h_a(ours.g_a(jnp.asarray(x_cal)))))
+    )
+    ours = scale_last_convs(ours, args.arch, 1.0, 1.5 / z_std)
+
+    sd = export_torch_state_dict(ours)
+    load_into_torch_model(ref, sd)
+    ref.eval()
+    ref.update(force=True)
+    sd2 = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    # round-trip the post-update checkpoint into our model (tables included)
+    ours2 = build_our_model(args.arch)
+    unused = load_torch_state_dict(ours2, sd2, strict=False)
+    print("unused torch keys after convert:", [u for u in unused if "bound" not in u
+                                              and "pedestal" not in u
+                                              and ".target" not in u
+                                              and ".mask" not in u
+                                              and "scale_bound" not in u][:10])
+
+    # ---- crop screening: every torch/jax pair must sit further from its
+    # round() boundary than 20x the actual cross-backend difference ---------
+    def boundary_safe(a_t, a_j, factor=20.0, floor=1e-6):
+        dist = np.abs(a_t - np.floor(a_t) - 0.5)
+        diff = np.abs(a_t - a_j)
+        return bool(np.all(dist > factor * np.maximum(diff, floor)))
+
+    chosen = None
+    for seed in range(200, 260):
+        x = dead_leaves(256, 384, seed=seed).astype(np.float32)[None]
+        xt = torch.from_numpy(nchw(x))
+        with torch.no_grad():
+            y_t = ref.g_a(xt)
+            z_t = ref.h_a(y_t) if hasattr(ref, "h_a") else None
+        y_j = np.asarray(ours2.g_a(jnp.asarray(x)))
+        if not np.array_equal(np.round(nchw(y_j)), np.round(y_t.numpy())):
+            continue
+        hyper2 = ours2.latent_codec.latent_codec["hyper"]
+        z_j = np.asarray(hyper2.h_a(jnp.asarray(y_j)))
+        # reference h_a lives inside its hyper codec
+        with torch.no_grad():
+            z_t = ref.latent_codec.hyper.h_a(y_t)
+        med = sd2_medians(sd2)
+        zs_t = z_t.numpy() - med[None, :, None, None]
+        zs_j = nchw(z_j) - med[None, :, None, None]
+        if not np.array_equal(np.round(zs_t), np.round(zs_j)):
+            continue
+        ok = boundary_safe(y_t.numpy(), nchw(y_j)) and boundary_safe(zs_t, zs_j)
+        # also abs_max must not straddle an integer
+        ymax = max(abs(float(y_t.numpy().max())), abs(float(y_t.numpy().min())))
+        if ok and abs(ymax - round(ymax)) > 1e-3:
+            chosen = (seed, x)
+            print(f"crop seed {seed}: boundary-safe, ymax {ymax:.3f}")
+            break
+    assert chosen is not None, "no crop passed the boundary screen"
+    seed, x = chosen
+
+    # ---- record reference compress/decompress with intermediates ----------
+    rec = {"x": nchw(x), "seed": np.int64(seed)}
+    for k, v in sd2.items():
+        rec["sd/" + k] = v
+
+    gmm_calls = []
+    orig_gmm_c = RefGMM.compress
+    orig_gmm_d = RefGMM.decompress
+
+    def gmm_c(self, y, scales, means, weights):
+        out = orig_gmm_c(self, y, scales, means, weights)
+        (rv, abs_max, zb), y_q = out
+        gmm_calls.append(
+            dict(y=y.detach().numpy(), scales=scales.detach().numpy(),
+                 means=means.detach().numpy(), weights=weights.detach().numpy(),
+                 string=np.frombuffer(rv, np.uint8), abs_max=np.int64(abs_max),
+                 zero_bitmap=zb.detach().numpy().astype(np.int32),
+                 y_hat=y_q.detach().numpy())
+        )
+        return out
+
+    dec_calls = []
+
+    def gmm_d(self, strings, abs_max, zero_bitmap, scales, means, weights):
+        out = orig_gmm_d(self, strings, abs_max, zero_bitmap, scales, means, weights)
+        dec_calls.append(
+            dict(scales=scales.detach().numpy(), means=means.detach().numpy(),
+                 weights=weights.detach().numpy(), y_hat=out.detach().numpy())
+        )
+        return out
+
+    eb_rec = {}
+    orig_eb_c = RefEB.compress
+    orig_eb_d = RefEB.decompress
+
+    def eb_c(self, z):
+        eb_rec["z"] = z.detach().numpy()
+        return orig_eb_c(self, z)
+
+    def eb_d(self, strings, size):
+        out = orig_eb_d(self, strings, size)
+        eb_rec.setdefault("z_hat", out.detach().numpy())
+        return out
+
+    RefGMM.compress, RefGMM.decompress = gmm_c, gmm_d
+    RefEB.compress, RefEB.decompress = eb_c, eb_d
+    try:
+        with torch.no_grad():
+            out = ref.compress(torch.from_numpy(nchw(x)))
+            dec = ref.decompress(out["strings"], out["shape"])
+    finally:
+        RefGMM.compress, RefGMM.decompress = orig_gmm_c, orig_gmm_d
+        RefEB.compress, RefEB.decompress = orig_eb_c, orig_eb_d
+
+    *y_strings, z_strings = out["strings"]
+    rec["n_passes"] = np.int64(len(y_strings))
+    for i, (s, abs_max, zb) in enumerate(y_strings):
+        assert bytes(np.frombuffer(s, np.uint8)) == bytes(gmm_calls[i]["string"])
+        for k, v in gmm_calls[i].items():
+            rec[f"pass{i}/{k}"] = v
+        for k, v in dec_calls[i].items():
+            rec[f"pass{i}/dec_{k}"] = v
+    assert len(z_strings) == 1
+    rec["z_string_0"] = np.frombuffer(z_strings[0], np.uint8)
+    rec["z"] = eb_rec["z"]
+    rec["z_hat"] = eb_rec["z_hat"]
+    rec["y_hat"] = out["y_hat"].detach().numpy()
+    rec["x_hat"] = dec["x_hat"].detach().numpy()
+    # container shape metadata
+    if args.arch == "ckbd":
+        rec["shape_y"] = np.asarray(list(out["shape"]["y"]), np.int64)
+        rec["shape_hyper"] = np.asarray(list(out["shape"]["hyper"]), np.int64)
+
+    # sanity: reference round-trip is exact
+    assert np.array_equal(np.round(rec["y_hat"]), rec["y_hat"])
+    path = os.path.join(OUT_DIR, f"model_interop_{args.arch}.npz")
+    np.savez_compressed(path, **rec)
+    print(f"wrote {path} ({os.path.getsize(path)/1e6:.1f} MB, "
+          f"{len(gmm_calls)} gmm passes, z bytes={len(z_strings[0])})")
+
+
+def sd2_medians(sd2):
+    for k, v in sd2.items():
+        if k.endswith("entropy_bottleneck.quantiles"):
+            return v[:, 0, 1]
+    raise KeyError("quantiles not found")
+
+
+if __name__ == "__main__":
+    main()

@@ -294,7 +294,7 @@ def main():
 
     ans, cxx = load_reference_modules()
     record_mode_independent(ans, cxx)
-    combos = [(0, 0), (1, 0), (2, 0), (0, 1)]
+    combos = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)]
     for mode, simd in combos:
         env = dict(os.environ, APPROX_MODE=str(mode), USE_SIMD=str(simd))
         subprocess.run(
