@@ -654,8 +654,19 @@ class GaussianMixtureConditional(GaussianConditional):
 
     def compress(self, y, scales, means, weights):
         """Returns ((string, abs_max, zero_bitmap), y_quantized); mirrors
-        entropy_models.py:833-870 (B=1 assumed, like the reference)."""
+        entropy_models.py:833-870."""
         y_host = np.asarray(jax.device_get(y))
+        if y_host.shape[0] != 1:
+            # The reference container is B=1-only: its zero_bitmap is
+            # squeeze(0)'d to [C] and nonzero() indices are treated as
+            # channel ids (entropy_models.py:840-846) — for B>1 that logic
+            # silently mis-indexes.  Batch throughput lives in the fast
+            # codec (runtime/fast_codec.py batched archive mode).
+            raise ValueError(
+                "reference-format GMM compress codes ONE image per call "
+                f"(got batch={y_host.shape[0]}); loop over the batch, or "
+                "use runtime.FastCheckerboardGmmCodec for batched coding"
+            )
         abs_max = max(
             abs(int(y_host.max())), abs(int(y_host.min()))
         ) + 1
@@ -704,6 +715,11 @@ class GaussianMixtureConditional(GaussianConditional):
         return os.environ.get("FLASHGMM_HOST_MATH") == "1"
 
     def decompress(self, strings, abs_max, zero_bitmap, scales, means, weights):
+        if scales.shape[0] != 1:
+            raise ValueError(
+                "reference-format GMM decompress codes ONE image per call "
+                f"(got batch={scales.shape[0]}); see compress()"
+            )
         zero_bitmap = np.asarray(jax.device_get(zero_bitmap))
         nonzero = np.nonzero(zero_bitmap)[0]
         b, h, w, _ = scales.shape

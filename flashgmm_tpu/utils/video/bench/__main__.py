@@ -69,7 +69,8 @@ def _vtm_decode_cmd(build_dir, inp, out_yuv):
 
 
 def _frame_metrics(orig_yuv_path, rec_yuv_path, w, h, frames):
-    """Per-frame PSNR on the YUV420 planes + RGB-converted PSNR."""
+    """Per-frame PSNR-YUV (reference definition: per-plane PSNRs weighted
+    (4*Y + U + V)/6, utils/video/eval_model/__main__.py:149) + RGB PSNR."""
     import jax.numpy as jnp
 
     from flashgmm_tpu.transforms import ycbcr2rgb, yuv_420_to_444
@@ -83,8 +84,14 @@ def _frame_metrics(orig_yuv_path, rec_yuv_path, w, h, frames):
             b = np.frombuffer(fr.read(frame_bytes), np.uint8)
             if a.size < frame_bytes or b.size < frame_bytes:
                 break
-            mse = np.mean((a.astype(np.float32) - b.astype(np.float32)) ** 2)
-            psnr_yuv.append(10 * np.log10(255.0**2 / max(mse, 1e-10)))
+            af, bf = a.astype(np.float32), b.astype(np.float32)
+            n_y = w * h
+            planes = ((af[:n_y], bf[:n_y]),
+                      (af[n_y:n_y * 5 // 4], bf[n_y:n_y * 5 // 4]),
+                      (af[n_y * 5 // 4:], bf[n_y * 5 // 4:]))
+            p = [10 * np.log10(255.0**2 / max(np.mean((x - y) ** 2), 1e-10))
+                 for x, y in planes]
+            psnr_yuv.append((4 * p[0] + p[1] + p[2]) / 6)
 
             def to_rgb(buf):
                 y = buf[: w * h].reshape(h, w).astype(np.float32) / 255

@@ -75,8 +75,12 @@ def main(argv=None):
         dec = jnp.clip(unpad_image(dec_pad, unpad), 0, 1)
         results["psnr-rgb"].append(float(psnr(ref, dec)))
         results["ms-ssim-rgb"].append(float(ms_ssim(ref, dec)))
+        ref_yuv, dec_yuv = rgb2ycbcr(ref), rgb2ycbcr(dec)
+        p_yuv = [float(psnr(ref_yuv[..., i], dec_yuv[..., i])) for i in range(3)]
+        # reference weighting: (4*Y + U + V)/6 over PER-PLANE PSNRs
+        # (utils/video/eval_model/__main__.py:149)
         results["psnr-yuv"].append(
-            float(psnr(rgb2ycbcr(ref), rgb2ycbcr(dec)))
+            float((4 * p_yuv[0] + p_yuv[1] + p_yuv[2]) / 6)
         )
 
     # process in GOPs: frame 0 of each chunk is the keyframe

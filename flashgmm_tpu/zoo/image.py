@@ -53,6 +53,13 @@ cfgs = {
         1: (192, 320), 2: (192, 320), 3: (192, 320), 4: (192, 320),
         5: (192, 320), 6: (192, 320),
     },
+    # VBR archs: ONE model serves the whole rate range; "quality" only
+    # selects the Gain index at inference (zoo/image_vbr.py:37-41)
+    "bmshj2018-hyperprior-vbr": {1: (192, 320)},
+    "mbt2018-mean-vbr": {1: (192, 320)},
+    "mbt2018-vbr": {1: (192, 320)},
+    # video (zoo/video.py): one architecture, qualities are checkpoints
+    "ssf2020": {q: () for q in range(1, 10)},
 }
 
 model_architectures = dict(MODELS)

@@ -264,3 +264,63 @@ class TestPointCloudDatasets:
         assert len(ds) == 1
         item = ds[0]
         assert item["pos"].shape == (48, 3) and item["color"].shape == (48, 3)
+
+    def test_modelnet(self, tmp_path):
+        import os
+
+        from flashgmm_tpu.datasets import ModelNetDataset
+
+        d = tmp_path / "chair" / "train"
+        os.makedirs(d)
+        # minimal OFF mesh: 4 vertices, 2 triangles
+        (d / "chair_0001.off").write_text(
+            "OFF\n4 2 0\n0 0 0\n1 0 0\n0 1 0\n0 0 1\n3 0 1 2\n3 0 1 3\n"
+        )
+        ds = ModelNetDataset(tmp_path, split="train", num_points=16)
+        assert len(ds) == 1
+        pts = ds[0]
+        pos = pts["pos"] if isinstance(pts, dict) else pts
+        assert np.asarray(pos).shape == (16, 3)
+
+
+class TestPccTrainStep:
+    def test_hrtzxf2022_seeded_train_step(self):
+        """Seeded end-to-end training step for hrtzxf2022-pcc-rec
+        (VERDICT r2 item 9): forward -> RD loss -> grads -> optimizer
+        update; loss finite, params actually move."""
+        import optax
+
+        from flashgmm_tpu.losses.pointcloud import RateDistortionLossHrtzxf2022
+        from flashgmm_tpu.models.pointcloud.hrtzxf2022 import (
+            DensityPreservingReconstructionPccModel,
+        )
+
+        net = DensityPreservingReconstructionPccModel(
+            feat_dim=8, hidden_dim=16, k=8, rngs=nnx.Rngs(0)
+        )
+        loss_fn = RateDistortionLossHrtzxf2022(lmbda={"bpp": 1.0})
+        pts = jnp.asarray(
+            np.random.RandomState(7).rand(2, 54, 3).astype(np.float32)
+        )
+        opt = nnx.Optimizer(net, optax.adam(1e-3), wrt=nnx.Param)
+
+        def loss(model):
+            out = model({"pos": pts}, training=True, key=jax.random.key(0))
+            return loss_fn(out, {"pos": pts})["loss"]
+
+        before = jax.tree.map(
+            lambda v: np.asarray(v).copy(), nnx.state(net, nnx.Param)
+        )
+        l0, grads = nnx.value_and_grad(loss)(net)
+        assert np.isfinite(float(l0))
+        gnorm = optax.global_norm(nnx.state(grads, nnx.Param))
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+        opt.update(net, grads)
+        after = nnx.state(net, nnx.Param)
+        moved = jax.tree_util.tree_leaves(
+            jax.tree.map(
+                lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                before, after,
+            )
+        )
+        assert max(moved) > 0

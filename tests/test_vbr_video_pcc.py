@@ -29,6 +29,45 @@ class TestVbr:
             sizes.append(sum(len(b) for ss in c["strings"] for b in ss))
         assert sizes[1] > sizes[0]
 
+    def test_vbr_real_coding_three_levels_and_vr_bottleneck(self):
+        """Model-level REAL coding round-trip across 3 quality levels with
+        the variable-step EntropyBottleneck (reference models/vbr.py:206-287
+        stage-2 path: gain-scaled y through the GC tables, z through
+        update_variable tables)."""
+        from flashgmm_tpu.models.vbr import MeanScaleHyperpriorVbr
+
+        net = MeanScaleHyperpriorVbr(32, 48, vr_entbttlnck=True,
+                                     rngs=nnx.Rngs(0))
+        x = _img(seed=3)
+        sizes = []
+        for s in (0, 3, 7):
+            scale = net._get_scale(s, 0)
+            net.update(force=True, scale=scale)
+            c = net.compress(x, s=s)
+            r = net.decompress(c["strings"], c["shape"], s=s)
+            assert r["x_hat"].shape == x.shape
+            assert np.all(np.isfinite(np.asarray(r["x_hat"])))
+            sizes.append(sum(len(b) for ss in c["strings"] for b in ss))
+        # higher gain index -> finer quantization -> monotone rate increase
+        # (random-init latents can quantize to all-zeros at low gains, so
+        # only the top step is strictly larger)
+        assert sizes[0] <= sizes[1] < sizes[2], sizes
+
+    def test_vbr_inputscale_continuous_rate(self):
+        """inputscale gives continuous rate control between Gain entries."""
+        from flashgmm_tpu.models.vbr import ScaleHyperpriorVbr
+
+        net = ScaleHyperpriorVbr(32, 48, rngs=nnx.Rngs(1))
+        net.update(force=True)
+        x = _img(seed=4)
+        sizes = []
+        for sc in (0.6, 1.6, 4.0):
+            c = net.compress(x, inputscale=jnp.float32(sc))
+            r = net.decompress(c["strings"], c["shape"], inputscale=jnp.float32(sc))
+            assert r["x_hat"].shape == x.shape
+            sizes.append(sum(len(b) for ss in c["strings"] for b in ss))
+        assert sizes[0] < sizes[1] < sizes[2], sizes
+
     def test_eb_vbr_update_variable(self):
         from flashgmm_tpu.entropy_models import EntropyBottleneckVbr
 
