@@ -44,14 +44,18 @@ def _to_np(t):
         return np.asarray(t)
 
 
-def _torch_path(path):
+def _torch_path(path, nodes=None):
     """nnx graph path -> torch module path.
 
-    Drops our Sequential 'layers' level, and every non-leading
-    'latent_codec' dict level: the reference registers sub-codecs with
-    ``save_direct=True`` (latent_codecs/base.py:50-76), so e.g. our
-    ``latent_codec.latent_codec.y`` is torch's ``latent_codec.y`` (the
-    leading element is the model's own attribute and is kept).
+    Drops our Sequential 'layers' level, and the 'latent_codec' dict level
+    inside codecs the reference registers with ``save_direct=True``
+    (latent_codecs/base.py:50-76: Hyperprior, Checkerboard,
+    GainHyperprior) — e.g. our ``latent_codec.latent_codec.y`` is torch's
+    ``latent_codec.y``.  ChannelGroups uses an ``nn.ModuleDict``
+    (channel_groups.py:84), so ITS level is kept.  ``nodes`` maps visited
+    path prefixes to module objects (parents are visited first) so the
+    containing codec's type decides; without it every non-leading level is
+    dropped (pre-ELIC behavior).
     """
     parts = []
     for i, p in enumerate(path):
@@ -59,7 +63,14 @@ def _torch_path(path):
         if s == "layers":
             continue
         if s == "latent_codec" and i > 0:
-            continue
+            keep = False
+            if nodes is not None:
+                from flashgmm_tpu.latent_codecs import ChannelGroupsLatentCodec
+
+                parent = nodes.get(tuple(str(q) for q in path[:i]))
+                keep = isinstance(parent, ChannelGroupsLatentCodec)
+            if not keep:
+                continue
         parts.append(s)
     return ".".join(parts)
 
@@ -81,8 +92,13 @@ def load_torch_state_dict(model, state_dict, strict: bool = True):
         used.add(key)
         return _to_np(sd[key])
 
+    # two passes: iter_graph visits children before parents, and
+    # _torch_path needs the PARENT node type to resolve dict levels
+    nodes = {
+        tuple(str(q) for q in p): n for p, n in nnx.iter_graph(model)
+    }
     for path, node in nnx.iter_graph(model):
-        prefix = _torch_path(path)
+        prefix = _torch_path(path, nodes)
         if isinstance(node, ConvTranspose2d):
             w = take(f"{prefix}.weight")
             if w is not None:

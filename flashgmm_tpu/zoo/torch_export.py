@@ -34,8 +34,11 @@ def export_torch_state_dict(model):
     from flax import nnx
 
     sd = {}
+    nodes = {
+        tuple(str(q) for q in p): n for p, n in nnx.iter_graph(model)
+    }
     for path, node in nnx.iter_graph(model):
-        prefix = _torch_path(path).lstrip(".")
+        prefix = _torch_path(path, nodes).lstrip(".")
 
         def put(suffix, arr):
             key = f"{prefix}.{suffix}" if prefix else suffix
