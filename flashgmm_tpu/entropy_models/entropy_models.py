@@ -319,31 +319,42 @@ class EntropyBottleneck(EntropyModel):
         return jnp.abs(logits - self.target.value).sum()
 
     def _update_quantiles(self, search_radius=1e5, rtol=1e-4, atol=1e-3):
-        """Bisection search for the target quantiles (entropy_models.py:572-603)."""
-        quantiles = np.array(jax.device_get(self.quantiles.value))
-        shape = (self.channels, 1, 1)
-        target = np.asarray(jax.device_get(self.target.value))
+        """Bisection search for the target quantiles (entropy_models.py:572-603).
 
-        def f(y):
-            return np.asarray(
-                jax.device_get(
-                    self._logits_cumulative(jnp.asarray(y), stop_gradient=True)
+        Runs as ONE jitted program (lax.while_loop over all three targets
+        at once) — the float range halves from 1e5 to ~1e-3 in ~27 steps,
+        and a host loop would pay a device round trip per step (~30-45 ms
+        each through the TPU tunnel)."""
+        def logits(y):
+            return self._logits_cumulative(y, stop_gradient=True)
+
+        @jax.jit
+        def solve(target):
+            # [C, 1, 3]: solve all three targets in one vectorized bisection
+            shape = (self.channels, 1, len(self.target.value))
+            t = jnp.broadcast_to(target[None, None, :], shape)
+            low = jnp.full(shape, -search_radius, jnp.float32)
+            high = jnp.full(shape, search_radius, jnp.float32)
+            low = jnp.where(t <= logits(high), low, high)
+            high = jnp.where(logits(low) <= t, high, low)
+
+            def cond(state):
+                low, high = state
+                return ~jnp.all(
+                    jnp.abs(low - high) <= atol + rtol * jnp.abs(high)
                 )
-            )
 
-        for i in range(len(target)):
-            low = np.full(shape, -search_radius, np.float32)
-            high = np.full(shape, search_radius, np.float32)
-            t = target[i]
-            low = np.where(t <= f(high), low, high)
-            high = np.where(f(low) <= t, high, low)
-            while not np.all(np.isclose(low, high, rtol=rtol, atol=atol)):
+            def body(state):
+                low, high = state
                 mid = (low + high) / 2
-                f_mid = f(mid)
-                low = np.where(f_mid <= t, mid, low)
-                high = np.where(f_mid >= t, mid, high)
-            quantiles[:, :, i] = ((low + high) / 2)[:, :, 0]
-        self.quantiles.value = jnp.asarray(quantiles)
+                f_mid = logits(mid)
+                return (jnp.where(f_mid <= t, mid, low),
+                        jnp.where(f_mid >= t, mid, high))
+
+            low, high = jax.lax.while_loop(cond, body, (low, high))
+            return (low + high) / 2
+
+        self.quantiles.value = solve(self.target.value)
 
     def update(self, force: bool = False, update_quantiles: bool = False) -> bool:
         """Build the quantized CDF tables (entropy_models.py:391-427)."""

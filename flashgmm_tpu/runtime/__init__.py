@@ -5,5 +5,6 @@ from .fast_elic import FastElicGmmCodec  # noqa: E402
 
 __all__ += ["FastElicGmmCodec"]
 from .latency_codec import FastLatencyGmmCodec  # noqa: E402
+from .latency_elic import FastLatencyElicCodec  # noqa: E402
 
-__all__ += ["FastLatencyGmmCodec"]
+__all__ += ["FastLatencyGmmCodec", "FastLatencyElicCodec"]

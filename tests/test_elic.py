@@ -39,3 +39,68 @@ class TestElicGMM:
         c = net.compress(x)
         r = net.decompress(c["strings"], c["shape"])
         assert r["x_hat"].shape == x.shape
+
+
+class TestFastLatencyElicCodec:
+    """Fused single-program ELIC codec (runtime/latency_elic.py)."""
+
+    @pytest.fixture(scope="class")
+    def codec(self, net):
+        from flashgmm_tpu.runtime import FastLatencyElicCodec
+
+        return FastLatencyElicCodec(net, lanes=64, bf16_transforms=False)
+
+    def test_certified_roundtrip(self, net, codec):
+        x = jnp.asarray(
+            np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        data, y_shape = codec.encode_certified(x)
+        x_hat = codec.decode_bytes(data, y_shape)
+        assert x_hat.shape == x.shape
+        # the fused decoder reproduces the fused encoder's symbols: decode
+        # again and compare the y_hat path via a second decode (determinism)
+        x_hat2 = codec.decode_bytes(data, y_shape)
+        np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
+
+    def test_bitstream_layout_matches_composable(self, net, codec):
+        """Files serialized by the composable FastElicGmmCodec parse in the
+        latency codec's from_bytes (same PassStream layout)."""
+        from flashgmm_tpu.runtime import FastElicGmmCodec
+
+        base = FastElicGmmCodec(net, lanes=64, bf16_transforms=False)
+        x = jnp.asarray(
+            np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        out = base.encode(x)
+        data = base.to_bytes(out)
+        y_shape = tuple(out["y_hat"].shape)
+        streams = codec.from_bytes(data, y_shape)
+        assert len(streams) == 11
+        # composable codec decodes its own streams exactly
+        y_hat = base.decode_y_hat(base.from_bytes(data, y_shape), y_shape)
+        np.testing.assert_array_equal(
+            np.asarray(y_hat), np.asarray(out["y_hat"])
+        )
+
+    def test_fallback_routing_on_forced_failure(self, net, codec):
+        """If certification fails, returned bytes still decode correctly
+        (routed through the fallback codec)."""
+        x = jnp.asarray(
+            np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        orig = codec._certify_streams
+        # force primary certification to fail; fallback cross-cert also
+        # fails -> digest routing must kick in
+        codec._certify_streams = lambda *a, **k: False
+        try:
+            data, y_shape = codec.encode_certified(x)
+        finally:
+            codec._certify_streams = orig
+        assert codec._fallback_digests
+        x_hat = codec.decode_bytes(data, y_shape)
+        assert x_hat.shape == x.shape
+        # and matches the fallback codec's own decode
+        ref = codec._fallback.decode(
+            codec._fallback.from_bytes(data, y_shape), y_shape
+        )
+        np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(ref))
