@@ -42,6 +42,13 @@ STEPS_PER_BLOCK = 8
 BLK = 128
 
 
+# ablation switches for on-TPU profiling (tools/profile_pallas_variants.py):
+# each skips one stage of the per-step pipeline so the scalarizing op can
+# be isolated by differential timing. Production value: all False.
+ABLATE = dict(no_search=False, no_lookup=False, no_rank=False,
+              no_window=False, rank_cumsum=False)
+
+
 def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
                    out_ref, x_scratch, g_scratch):
     tb = pl.program_id(0)
@@ -74,40 +81,57 @@ def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
         act = active_ref[k]  # [W] bool
 
         cf = (x & 0xFFFF).astype(jnp.int32)
-        s = jnp.sum((row <= cf[:, None]).astype(jnp.int32), axis=1) - 1
-        s = jnp.clip(s, 0, L - 2)
-        oh_s = (bin_col == s[:, None]).astype(jnp.int32)
-        oh_s1 = (bin_col == (s + 1)[:, None]).astype(jnp.int32)
-        start = jnp.sum(row * oh_s, axis=1)
-        nxt = jnp.sum(row * oh_s1, axis=1)
-        freq = (nxt - start).astype(jnp.uint32)
+        if ABLATE["no_search"]:
+            s = jnp.zeros((W,), jnp.int32)
+        else:
+            s = jnp.sum((row <= cf[:, None]).astype(jnp.int32), axis=1) - 1
+            s = jnp.clip(s, 0, L - 2)
+        if ABLATE["no_lookup"]:
+            start = jnp.zeros((W,), jnp.int32)
+            freq = jnp.full((W,), 1, jnp.uint32)
+        else:
+            oh_s = (bin_col == s[:, None]).astype(jnp.int32)
+            oh_s1 = (bin_col == (s + 1)[:, None]).astype(jnp.int32)
+            start = jnp.sum(row * oh_s, axis=1)
+            nxt = jnp.sum(row * oh_s1, axis=1)
+            freq = (nxt - start).astype(jnp.uint32)
 
         x2 = freq * (x >> 16) + cf.astype(jnp.uint32) - start.astype(jnp.uint32)
         need = act & (x2 < (1 << 16))
         need_i = need.astype(jnp.int32)
 
-        # exclusive prefix sum of `need` over lanes via the tri matmul
-        rank = jnp.dot(
-            tri, need.astype(jnp.float32), preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        # exclusive prefix sum of `need` over lanes
+        if ABLATE["no_rank"]:
+            rank = jnp.zeros((W,), jnp.int32)
+        elif ABLATE["rank_cumsum"]:
+            # lifts the W<=512 tri-matmul cap IF Mosaic lowers cumsum
+            rank = jnp.cumsum(need_i) - need_i
+        else:
+            rank = jnp.dot(
+                tri, need.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
 
-        # stream rows are 128 wide: dynamic 8-aligned sublane window
-        srow8 = pl.multiple_of((g // BLK // 8) * 8, 8)
-        off = g - srow8 * BLK
-        window = stream_ref[pl.ds(srow8, NWIN), :]  # [NWIN, 128] int32
-        idx = rank + off  # < W + 8*128 <= NWIN*128
-        q = idx // BLK
-        r = idx - q * BLK
-        sel_q = (win_col == q[:, None]).astype(jnp.float32)  # [W, NWIN]
-        w_lo = (window & 0xFF).astype(jnp.float32)
-        w_hi = (window >> 8).astype(jnp.float32)
-        rv_lo = jnp.dot(sel_q, w_lo, preferred_element_type=jnp.float32)
-        rv_hi = jnp.dot(sel_q, w_hi, preferred_element_type=jnp.float32)
-        sel_r = (lane128 == r[:, None]).astype(jnp.float32)  # [W, 128]
-        word = (
-            jnp.sum(rv_lo * sel_r, axis=1).astype(jnp.int32)
-            + (jnp.sum(rv_hi * sel_r, axis=1).astype(jnp.int32) << 8)
-        )
+        if ABLATE["no_window"]:
+            word = jnp.zeros((W,), jnp.int32)
+        else:
+            # stream rows are 128 wide: dynamic 8-aligned sublane window
+            srow8 = pl.multiple_of((g // BLK // 8) * 8, 8)
+            off = g - srow8 * BLK
+            window = stream_ref[pl.ds(srow8, NWIN), :]  # [NWIN, 128] int32
+            idx = rank + off  # < W + 8*128 <= NWIN*128
+            q = idx // BLK
+            r = idx - q * BLK
+            sel_q = (win_col == q[:, None]).astype(jnp.float32)  # [W, NWIN]
+            w_lo = (window & 0xFF).astype(jnp.float32)
+            w_hi = (window >> 8).astype(jnp.float32)
+            rv_lo = jnp.dot(sel_q, w_lo, preferred_element_type=jnp.float32)
+            rv_hi = jnp.dot(sel_q, w_hi, preferred_element_type=jnp.float32)
+            sel_r = (lane128 == r[:, None]).astype(jnp.float32)  # [W, 128]
+            word = (
+                jnp.sum(rv_lo * sel_r, axis=1).astype(jnp.int32)
+                + (jnp.sum(rv_hi * sel_r, axis=1).astype(jnp.int32) << 8)
+            )
 
         x3 = jnp.where(need, (x2 << 16) | word.astype(jnp.uint32), x2)
         x_scratch[:] = jnp.where(act, x3, x)

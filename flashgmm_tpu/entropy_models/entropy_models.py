@@ -412,7 +412,8 @@ class EntropyBottleneck(EntropyModel):
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # clip: sigmoid saturates to 0/1 far before |x|=50; avoids exp overflow
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -50.0, 50.0)))
 
 
 class GaussianConditional(EntropyModel):
