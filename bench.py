@@ -97,22 +97,35 @@ def main():
     lat_codec = FastLatencyGmmCodec(model, lanes=1024, cap_divisor=4)
     data, y_shape4 = lat_codec.encode_certified(single)
     rec = lat_codec.decode(data, y_shape4)
-    rec.block_until_ready()
-    mse = float(jnp.mean((rec - single) ** 2))
+    mse = float(jnp.mean((rec - single) ** 2))  # scalar fetch = real sync
     psnr = -10.0 * np.log10(max(mse, 1e-12))
+    float(rec[0, 0, 0, 0])  # pre-compile the slice program used as sync
     t0 = time.time()
     data, _ = lat_codec.encode_certified(single)
     lat_enc = (time.time() - t0) * 1000
     t0 = time.time()
     rec = lat_codec.decode(data, y_shape4)
-    rec.block_until_ready()
+    # axon's block_until_ready acks dispatch without waiting; a scalar
+    # fetch is the only sync that provably waits for execution
+    float(rec[0, 0, 0, 0])
     lat_dec = (time.time() - t0) * 1000
+
+    # true on-device single-image latency (tunnel-RTT-free; the number a
+    # local-runtime deployment would see — see runtime/latency_probe.py)
+    try:
+        from flashgmm_tpu.runtime.latency_probe import measure_device_latency
+
+        dev_enc, dev_dec = measure_device_latency(
+            lat_codec, single, lat_codec.from_bytes(data, y_shape4),
+            y_shape4)
+    except Exception:
+        dev_enc = dev_dec = float("nan")
 
     # ---- batched path (compile, then steady-state)
     bdata, bout = codec.encode_to_bytes(batches[0])
     by_shape = tuple(bout["y_hat"].shape)
     brec = codec.decode_bytes(bdata, by_shape)
-    brec.block_until_ready()
+    float(brec[0, 0, 0, 0])  # drain the device queue before timing
 
     n_images = BATCH * N_BATCHES
     t0 = time.time()
@@ -131,7 +144,10 @@ def main():
 
     t0 = time.time()
     recs = [codec.decode_bytes(d, by_shape) for d in datas]
-    jax.block_until_ready(recs)
+    # programs execute in dispatch order; fetching a scalar from the LAST
+    # reconstruction forces completion of all of them (block_until_ready
+    # on axon acks without waiting — do not use it for timing)
+    float(recs[-1][0, 0, 0, 0])
     dec_ms = (time.time() - t0) / n_images * 1000
 
     total = enc_ms + dec_ms
@@ -140,7 +156,9 @@ def main():
         "metric": (
             f"kodak 768x512 enc+dec ms/image steady-state (batch={BATCH}), ckbd-GMM "
             f"N=192 K=4, full codec on-chip (enc {enc_ms:.1f} + dec {dec_ms:.1f}; "
-            f"single-image latency {lat_enc:.0f}+{lat_dec:.0f} ms; "
+            f"single-image device latency {dev_enc:.1f}+{dev_dec:.1f} ms "
+            f"(wall through the ~27ms/fetch axon tunnel: "
+            f"{lat_enc:.0f}+{lat_dec:.0f} ms); "
             f"{nbytes * 8 / (H * W):.3f} bpp, {psnr:.1f} dB PSNR, "
             f"{'trained' if trained else 'random'} weights, held-out "
             f"dead-leaves content)"

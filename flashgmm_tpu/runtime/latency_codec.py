@@ -8,17 +8,22 @@ encode is ONE XLA program and the entire decode is ONE XLA program.
 Correctness model — certification instead of construction: the encoder
 and decoder compile their float CDF math independently, so bit-equality
 between them is NOT structurally guaranteed (XLA may tile/fuse the two
-programs differently). Instead, ``encode_certified`` serializes the
-streams, feeds the bytes through the SAME ``from_bytes`` +
-``_decode_full_jit`` executable that ``decode()`` runs (identical shapes
-→ identical compiled program), and compares the decoded ``y_hat``
-against the encoder's on-chip; only the trivial elementwise-equality
-reduction runs in its own small program. A certificate failure (never
-observed, but possible after e.g. an XLA upgrade) falls back to the
-shared-program codec — and the fallback bytes are themselves certified
-against this decoder; if even that fails, the stream is remembered and
-``decode()`` routes it through the fallback codec's own decoder, so no
-uncertified (encoder, decoder) pairing can ever be returned.
+programs differently). Instead, ``encode_certified`` feeds the encoder's
+streams through the SAME ``_decode_y_jit`` executable that ``decode()``
+runs (identical shapes → identical compiled program) and compares the
+decoded ``y_hat`` against the encoder's on-chip; only the trivial
+elementwise-equality reduction runs in its own small program.
+``decode()`` = the certified ``_decode_y_jit`` (every stream-consuming
+op — all rANS scans and all CDF math live here) + a separate ``g_s``
+synthesis program; g_s consumes the exact integer-valued ``y_hat`` and
+touches no coder state, so it cannot desynchronize a stream — keeping it
+out of the certified program shaves its cost off every certification.
+A certificate failure (never observed, but possible after e.g. an XLA
+upgrade) falls back to the shared-program codec — and the fallback bytes
+are themselves certified against this decoder; if even that fails, the
+stream is remembered and ``decode()`` routes it through the fallback
+codec's own decoder, so no uncertified (encoder, decoder) pairing can
+ever be returned.
 
 Cites: reference single-image flow models/base.py:202-213 (compress/
 decompress); this latency mode has no reference counterpart (the
@@ -58,10 +63,9 @@ class FastLatencyGmmCodec:
 
         self._encode_jit = jax.jit(self._encode_impl, static_argnums=(2,))
         self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(2,))
-        self._decode_full_jit = jax.jit(self._decode_full_impl,
-                                        static_argnums=(2,))
+        self._gs_jit = jax.jit(self._gs_impl)
         # trivial integer-equality reduction; its own (fusion-insensitive)
-        # program so certification can reuse _decode_full_jit itself
+        # program so certification can reuse _decode_y_jit itself
         self._cmp_jit = jax.jit(lambda a, b: jnp.all(a == b))
         self._fallback_digests = set()
 
@@ -214,27 +218,23 @@ class FastLatencyGmmCodec:
         )
         return sym0, sym1, y_hat
 
-    def _decode_full_impl(self, state, streams, y_shape):
-        """Production decode executable: streams -> (x_hat, y_hat).
-
-        y_hat (integer-valued floats) is returned so certification can
-        compare THIS executable's reconstruction against the encoder's —
-        not a separately-compiled replica of it."""
+    def _gs_impl(self, state, y_hat):
+        """Synthesis program: y_hat -> x_hat. Consumes exact integer-valued
+        y_hat from the certified stream decoder and reads no coder state,
+        so it is desync-proof by construction."""
         m, _, _, _ = self._modules(state)
-        _, _, y_hat = self._decode_y_impl(state, streams, y_shape)
-        x_hat = jnp.clip(
+        return jnp.clip(
             apply_transform(m.g_s, y_hat, self.bf16_transforms), 0.0, 1.0
         )
-        return x_hat, y_hat
 
     # -- public API -----------------------------------------------------------
 
     def _certify_bytes(self, data, y_shape, y_hat_expected):
-        """True iff the production decode executable reproduces the
+        """True iff the production stream-decode executable reproduces the
         encoder's y_hat exactly from these bytes."""
         try:
             streams = self.from_bytes(data, tuple(y_shape))
-            _, y_dec = self._decode_full_jit(self._state, streams,
+            _, _, y_dec = self._decode_y_jit(self._state, streams,
                                              tuple(y_shape))
             return bool(self._cmp_jit(y_dec, y_hat_expected))
         except Exception:
@@ -243,7 +243,7 @@ class FastLatencyGmmCodec:
     def _streams_match_decode_layout(self, passes, y_shape):
         """True iff the encoder's device streams have exactly the shapes
         ``from_bytes`` would produce — then feeding them to
-        ``_decode_full_jit`` hits the SAME compiled executable ``decode()``
+        ``_decode_y_jit`` hits the SAME compiled executable ``decode()``
         uses (both sides are zero-padded to capacity, so contents match
         the byte round-trip too)."""
         cap_z, cap_y = self.stream_capacities(y_shape)
@@ -256,7 +256,7 @@ class FastLatencyGmmCodec:
 
         Returns (data bytes, y_shape). The returned bytes are ALWAYS
         decodable by ``decode()``: either they passed certification
-        against the exact ``_decode_full_jit`` executable, or they are
+        against the exact ``_decode_y_jit`` executable, or they are
         fallback-codec bytes (themselves certified, or remembered and
         routed through the fallback decoder). When the encoder's device
         streams already have ``from_bytes`` shapes (the normal case),
@@ -268,9 +268,10 @@ class FastLatencyGmmCodec:
         passes = (ps_z, ps0, ps1)
         ok_dev = None
         if self._streams_match_decode_layout(passes, y_shape):
-            _, y_dec = self._decode_full_jit(self._state, passes,
+            _, _, y_dec = self._decode_y_jit(self._state, passes,
                                              tuple(y_shape))
             ok_dev = self._cmp_jit(y_dec, y_hat)
+            ok_dev.copy_to_host_async()  # one fetch wave with the streams
         for p in passes:
             for a in (p.n_words, p.states, p.stream):
                 a.copy_to_host_async()
@@ -354,15 +355,16 @@ class FastLatencyGmmCodec:
         return tuple(out)
 
     def decode(self, data: bytes, y_shape):
-        """ONE program: streams -> x_hat. The bitstream layout matches
-        FastCheckerboardGmmCodec (same PassStream serialization). Streams
-        that failed cross-certification at encode time are routed through
-        the fallback codec's own decoder."""
+        """Certified stream-decode program + g_s synthesis program ->
+        x_hat. The bitstream layout matches FastCheckerboardGmmCodec
+        (same PassStream serialization). Streams that failed
+        cross-certification at encode time are routed through the
+        fallback codec's own decoder."""
         if self._fallback_digests:
             import hashlib
 
             if hashlib.sha256(data).hexdigest() in self._fallback_digests:
                 return self._fallback.decode_bytes(data, tuple(y_shape))
         streams = self.from_bytes(data, tuple(y_shape))
-        x_hat, _ = self._decode_full_jit(self._state, streams, tuple(y_shape))
-        return x_hat
+        _, _, y_hat = self._decode_y_jit(self._state, streams, tuple(y_shape))
+        return self._gs_jit(self._state, y_hat)

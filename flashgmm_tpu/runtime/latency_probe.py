@@ -1,0 +1,125 @@
+"""True on-device codec latency measurement (tunnel-RTT-free).
+
+The axon test environment costs ~27 ms per blocking host fetch, and its
+``block_until_ready`` acks dispatch without waiting for execution, so
+naive wall timings of a single-image encode/decode measure the tunnel,
+not the codec. This probe runs K iterations of the full encode (or
+decode) program inside ONE jitted ``lax.fori_loop`` — one dispatch, one
+scalar fetch (which genuinely forces completion: the value cannot exist
+before the loop ran) — and reports the K2/K1 slope, which cancels the
+round trip and dispatch cost exactly. Each iteration is data-dependent
+on the previous one through a ``where`` keyed on a runtime zero, so XLA
+cannot collapse the loop; the selected values are bit-identical every
+iteration, so iteration i codes exactly the same image as iteration 0.
+
+On real deployment hardware (local runtime, sub-0.1 ms dispatch) the
+wall latency IS this device latency; the reference's published numbers
+(BASELINE.md) were likewise measured without a network between host and
+accelerator.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure_fn_latency(fn, x, k1=2, k2=10, reps=4):
+    """True device latency (ms) of ``fn(x)`` for a float-array->array fn.
+
+    Same K-slope method as measure_device_latency: K dependent iterations
+    in one fori_loop, one scalar fetch, slope between two K values.
+    """
+
+    def loop(k):
+        def run(x0, zero):
+            def body(i, carry):
+                xi, acc = carry
+                out = fn(xi)
+                tag = jnp.sum(
+                    jax.tree.leaves(out)[0].ravel()[:4].astype(jnp.float32))
+                xi = jnp.where(tag + zero == tag, x0, 0.0)
+                return xi, acc + tag
+
+            _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.float32(0)))
+            return acc
+
+        return jax.jit(run)
+
+    zero = jnp.float32(0)
+
+    def timed(f):
+        _ = float(f(x, zero))
+        t0 = time.time()
+        for _ in range(reps):
+            _ = float(f(x, zero))
+        return (time.time() - t0) / reps * 1e3
+
+    t1 = timed(loop(k1))
+    t2 = timed(loop(k2))
+    return (t2 - t1) / (k2 - k1)
+
+
+def measure_device_latency(lc, x, streams, y_shape, k1=2, k2=10, reps=4):
+    """(encode_ms, decode_ms) per image for a FastLatencyGmmCodec.
+
+    Args:
+        lc: FastLatencyGmmCodec (already constructed; weights loaded).
+        x: device-resident [1, H, W, 3] image.
+        streams: decode-layout PassStream tuple (from ``lc.from_bytes``).
+        y_shape: 4-tuple y latent shape.
+    """
+
+    def enc_loop(k):
+        def run(state, x0, zero):
+            def body(i, carry):
+                xi, acc = carry
+                ps_z, ps0, ps1, s0, s1, y_hat = lc._encode_impl(
+                    state, xi, lc.cap_divisor)
+                tag = (ps_z.n_words + ps0.n_words + ps1.n_words
+                       + ps_z.stream[0].astype(jnp.int32)
+                       + ps0.stream[0].astype(jnp.int32)
+                       + ps1.stream[0].astype(jnp.int32)
+                       + jnp.sum(s0[0, 0, :8])).astype(jnp.int32)
+                xi = jnp.where(tag + zero == tag, x0, 0.0)
+                return xi, acc + tag
+
+            _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
+            return acc
+
+        return jax.jit(run)
+
+    def dec_loop(k):
+        def run(state, streams, zero):
+            def body(i, carry):
+                st, acc = carry
+                sym0, sym1, y_hat = lc._decode_y_impl(state, st, y_shape)
+                x_hat = lc._gs_impl(state, y_hat)
+                tag = (jnp.sum(sym0[0, 0, :8]) +
+                       (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
+                z0 = st[0]
+                z0 = z0._replace(
+                    states=jnp.where(tag + zero == tag, z0.states,
+                                     jnp.uint32(0)))
+                return (z0,) + tuple(st[1:]), acc + tag
+
+            _, acc = jax.lax.fori_loop(0, k, body, (streams, jnp.int32(0)))
+            return acc
+
+        return jax.jit(run)
+
+    zero = jnp.int32(0)
+    streams = jax.device_put(streams)
+
+    def timed(fn, *a):
+        _ = int(fn(*a))  # compile + warm
+        t0 = time.time()
+        for _ in range(reps):
+            _ = int(fn(*a))
+        return (time.time() - t0) / reps * 1e3
+
+    e1 = timed(enc_loop(k1), lc._state, x, zero)
+    e2 = timed(enc_loop(k2), lc._state, x, zero)
+    d1 = timed(dec_loop(k1), lc._state, streams, zero)
+    d2 = timed(dec_loop(k2), lc._state, streams, zero)
+    return (e2 - e1) / (k2 - k1), (d2 - d1) / (k2 - k1)
