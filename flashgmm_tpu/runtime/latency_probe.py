@@ -31,32 +31,32 @@ def measure_fn_latency(fn, x, k1=2, k2=10, reps=4):
     in one fori_loop, one scalar fetch, slope between two K values.
     """
 
-    def loop(k):
-        def run(x0, zero):
-            def body(i, carry):
-                xi, acc = carry
-                out = fn(xi)
-                tag = jnp.sum(
-                    jax.tree.leaves(out)[0].ravel()[:4].astype(jnp.float32))
-                xi = jnp.where(tag + zero == tag, x0, 0.0)
-                return xi, acc + tag
+    @jax.jit
+    def run(x0, zero, k):
+        def body(i, carry):
+            xi, acc = carry
+            out = fn(xi)
+            tag = jnp.sum(
+                jax.tree.leaves(out)[0].ravel()[:4].astype(jnp.float32))
+            xi = jnp.where(tag + zero == tag, x0, 0.0)
+            return xi, acc + tag
 
-            _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.float32(0)))
-            return acc
-
-        return jax.jit(run)
+        # k is a runtime value -> ONE compile serves every K (the loop
+        # lowers to while_loop; per-iteration cost is what we measure)
+        _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.float32(0)))
+        return acc
 
     zero = jnp.float32(0)
 
-    def timed(f):
-        _ = float(f(x, zero))
+    def timed(k):
+        _ = float(run(x, zero, jnp.int32(k)))
         t0 = time.time()
         for _ in range(reps):
-            _ = float(f(x, zero))
+            _ = float(run(x, zero, jnp.int32(k)))
         return (time.time() - t0) / reps * 1e3
 
-    t1 = timed(loop(k1))
-    t2 = timed(loop(k2))
+    t1 = timed(k1)
+    t2 = timed(k2)
     return (t2 - t1) / (k2 - k1)
 
 
@@ -70,56 +70,52 @@ def measure_device_latency(lc, x, streams, y_shape, k1=2, k2=10, reps=4):
         y_shape: 4-tuple y latent shape.
     """
 
-    def enc_loop(k):
-        def run(state, x0, zero):
-            def body(i, carry):
-                xi, acc = carry
-                ps_z, ps0, ps1, s0, s1, y_hat = lc._encode_impl(
-                    state, xi, lc.cap_divisor)
-                tag = (ps_z.n_words + ps0.n_words + ps1.n_words
-                       + ps_z.stream[0].astype(jnp.int32)
-                       + ps0.stream[0].astype(jnp.int32)
-                       + ps1.stream[0].astype(jnp.int32)
-                       + jnp.sum(s0[0, 0, :8])).astype(jnp.int32)
-                xi = jnp.where(tag + zero == tag, x0, 0.0)
-                return xi, acc + tag
+    @jax.jit
+    def enc_run(state, x0, zero, k):
+        def body(i, carry):
+            xi, acc = carry
+            ps_z, ps0, ps1, s0, s1, y_hat = lc._encode_impl(
+                state, xi, lc.cap_divisor)
+            tag = (ps_z.n_words + ps0.n_words + ps1.n_words
+                   + ps_z.stream[0].astype(jnp.int32)
+                   + ps0.stream[0].astype(jnp.int32)
+                   + ps1.stream[0].astype(jnp.int32)
+                   + jnp.sum(s0[0, 0, :8])).astype(jnp.int32)
+            xi = jnp.where(tag + zero == tag, x0, 0.0)
+            return xi, acc + tag
 
-            _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
-            return acc
+        _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
+        return acc
 
-        return jax.jit(run)
+    @jax.jit
+    def dec_run(state, streams, zero, k):
+        def body(i, carry):
+            st, acc = carry
+            sym0, sym1, y_hat = lc._decode_y_impl(state, st, y_shape)
+            x_hat = lc._gs_impl(state, y_hat)
+            tag = (jnp.sum(sym0[0, 0, :8]) +
+                   (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
+            z0 = st[0]
+            z0 = z0._replace(
+                states=jnp.where(tag + zero == tag, z0.states,
+                                 jnp.uint32(0)))
+            return (z0,) + tuple(st[1:]), acc + tag
 
-    def dec_loop(k):
-        def run(state, streams, zero):
-            def body(i, carry):
-                st, acc = carry
-                sym0, sym1, y_hat = lc._decode_y_impl(state, st, y_shape)
-                x_hat = lc._gs_impl(state, y_hat)
-                tag = (jnp.sum(sym0[0, 0, :8]) +
-                       (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
-                z0 = st[0]
-                z0 = z0._replace(
-                    states=jnp.where(tag + zero == tag, z0.states,
-                                     jnp.uint32(0)))
-                return (z0,) + tuple(st[1:]), acc + tag
-
-            _, acc = jax.lax.fori_loop(0, k, body, (streams, jnp.int32(0)))
-            return acc
-
-        return jax.jit(run)
+        _, acc = jax.lax.fori_loop(0, k, body, (streams, jnp.int32(0)))
+        return acc
 
     zero = jnp.int32(0)
     streams = jax.device_put(streams)
 
-    def timed(fn, *a):
-        _ = int(fn(*a))  # compile + warm
+    def timed(fn, k, *a):
+        _ = int(fn(*a, zero, jnp.int32(k)))  # compile + warm
         t0 = time.time()
         for _ in range(reps):
-            _ = int(fn(*a))
+            _ = int(fn(*a, zero, jnp.int32(k)))
         return (time.time() - t0) / reps * 1e3
 
-    e1 = timed(enc_loop(k1), lc._state, x, zero)
-    e2 = timed(enc_loop(k2), lc._state, x, zero)
-    d1 = timed(dec_loop(k1), lc._state, streams, zero)
-    d2 = timed(dec_loop(k2), lc._state, streams, zero)
+    e1 = timed(enc_run, k1, lc._state, x)
+    e2 = timed(enc_run, k2, lc._state, x)
+    d1 = timed(dec_run, k1, lc._state, streams)
+    d2 = timed(dec_run, k2, lc._state, streams)
     return (e2 - e1) / (k2 - k1), (d2 - d1) / (k2 - k1)

@@ -24,6 +24,10 @@ from flax import nnx
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--stages", action="store_true",
+                   help="also probe cumulative g_s prefixes (16 compiles)")
+    p.add_argument("--f32", action="store_true",
+                   help="also probe f32 variants")
     args = p.parse_args()
 
     from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
@@ -43,7 +47,8 @@ def main():
         print(f"{name:26s} {ms:7.2f} ms  ({ms/b:6.2f} ms/img)", flush=True)
 
     hyper = model.latent_codec["hyper"]
-    for bf16 in (True, False):
+    modes = (True, False) if args.f32 else (True,)
+    for bf16 in modes:
         tag = "bf16" if bf16 else "f32"
         probe(f"g_a {tag}", model.g_a, x, bf16)
         probe(f"g_s {tag}", model.g_s, y, bf16)
@@ -60,6 +65,9 @@ def main():
         probe("g_s bf16 (GDN=identity)", model.g_s, y, True)
     finally:
         gdn_mod.GDN.__call__ = orig
+
+    if not args.stages:
+        return
 
     # per-stage g_s: cumulative prefixes of the sequential children
     from flashgmm_tpu.layers.layers import Sequential
