@@ -15,22 +15,24 @@ Mosaic/VMEM constraints shaped the design (cf. pallas guide):
   values may ride them: selectors are 0/1, the u16 words are byte-split
   (the f32 ACCUMULATION is exact); this mirrors the XLA one-hot-sum
   desync hazard found in the fast codec;
-- no cumsum primitive (and no 1-D vector reshape, which rules out a
-  hierarchical scheme): consumption ranks come from a [W, W]
-  strict-triangular MXU matmul — 0/1 operands with f32 accumulation are
-  exact, and the W^2 footprint caps the kernel at W <= 512;
-- rows stream through BlockSpec double-buffering.
+- no cumsum primitive (and no 1-D vector reshape): consumption ranks come
+  from a [W, W] strict-triangular MXU matmul at W <= 512 (0/1 operands
+  with f32 accumulation are exact) and from a hierarchical two-stage
+  one-hot-matmul prefix sum above that (see _decode_kernel).
 
 Math is identical to interleaved.decode_scan; bit-equality is asserted in
-interpret mode on CPU (tests/test_interleaved.py) and compiled on TPU
-(tools/test_pallas_tpu.py).
+interpret mode on CPU (tests/test_interleaved.py), compiled on TPU
+(tools/test_pallas_tpu.py), and inside the full fused decode program with
+trained weights (tools/test_codec_exact_tpu.py, lanes=512 case).
 
-STATUS (round 2): the Mosaic path COMPILES and decodes BIT-EXACTLY on the
-v5e (W=256 and W=512 verified against encode_scan round-trips), but runs
-~100x slower than the XLA scan — some kernel op scalarizes (suspects: u32
-vector ops, the SMEM-scalar stream cursor update, or the dynamic window
-load). The production decoder therefore remains interleaved.decode_scan;
-this kernel is kept as the correctness-proven base for future tuning.
+STATUS (round 3): round 2 reported this kernel "~100x slower than the
+scan" — that was a TIMING ARTIFACT of the axon tunnel (block_until_ready
+acks without waiting; the old harness measured RTT, not execution). With
+the fori_loop-slope probe (tools/profile_pallas_variants.py) on the v5e:
+W=512 Pallas 0.39 ms vs scan 2.36 ms (6x, bit-exact, T=384/196k syms,
+~500M syms/s); at W=1024 the scan's fewer-steps advantage wins (0.60 vs
+2.47 ms). Production policy (fast_codec._pallas_decode_default): Pallas
+decode at W <= 512 on TPU, XLA scan otherwise.
 """
 
 import jax
@@ -46,7 +48,7 @@ BLK = 128
 # each skips one stage of the per-step pipeline so the scalarizing op can
 # be isolated by differential timing. Production value: all False.
 ABLATE = dict(no_search=False, no_lookup=False, no_rank=False,
-              no_window=False, rank_cumsum=False)
+              no_window=False)
 
 
 def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
@@ -64,13 +66,35 @@ def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
     NWIN = nb + 16  # stream rows a step can touch (W words + align slack)
 
     bin_col = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
-    # strict lower-triangular [W, W] for the rank prefix sum: 0/1 operands
-    # are bf16-exact and the MXU accumulates in f32, so counts <= W are
-    # exact; the W^2 footprint caps the kernel at W <= 512 (Mosaic cannot
-    # reshape 1-D vectors, which rules out a hierarchical prefix sum)
-    lane_colW = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    lane_rowW = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    tri = (lane_colW < lane_rowW).astype(jnp.float32)
+    # Rank (exclusive prefix sum of `need` over lanes) constants. Two
+    # schemes, chosen statically by W:
+    # - W <= 512: one strict-lower-triangular [W, W] MXU matmul (0/1
+    #   operands are bf16-exact, f32 accumulation exact) — fastest, but
+    #   the W^2 footprint caps it;
+    # - W > 512: hierarchical two-stage prefix. Mosaic cannot reshape 1-D
+    #   vectors, so the [W] -> [nb, 128] factorization happens through
+    #   one-hot matmuls: Qmat[i, b] = [i//128 == b], Rmat[i, r] =
+    #   [i%128 == r]. All MXU operands stay in {0, 1} or <= 128
+    #   (bf16-exact); sums that exceed 256 live in the f32 accumulator
+    #   or on the VPU.
+    hier = W > 512
+    if hier:
+        lane_i_nb = jax.lax.broadcasted_iota(jnp.int32, (W, nb), 0)
+        blk_b = jax.lax.broadcasted_iota(jnp.int32, (W, nb), 1)
+        q_mat = ((lane_i_nb // BLK) == blk_b).astype(jnp.float32)  # [W, nb]
+        lane_i_128 = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 0)
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 1)
+        r_mat = ((lane_i_128 % BLK) == r_col).astype(jnp.float32)  # [W, 128]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+        rc = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+        tri_r = (rr < rc).astype(jnp.float32)  # [128,128] strict upper
+        br = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        bc = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        tri_nb = (bc < br).astype(jnp.float32)  # [nb,nb] strict lower
+    else:
+        lane_colW = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        lane_rowW = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        tri = (lane_colW < lane_rowW).astype(jnp.float32)
     win_col = jax.lax.broadcasted_iota(jnp.int32, (W, NWIN), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 1)
 
@@ -100,17 +124,37 @@ def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
         need = act & (x2 < (1 << 16))
         need_i = need.astype(jnp.int32)
 
-        # exclusive prefix sum of `need` over lanes
+        # exclusive prefix sum of `need` over lanes, hierarchically:
+        # rank[i] = (# needy lanes in earlier 128-blocks)
+        #         + (# needy earlier lanes within i's block)
         if ABLATE["no_rank"]:
             rank = jnp.zeros((W,), jnp.int32)
-        elif ABLATE["rank_cumsum"]:
-            # lifts the W<=512 tri-matmul cap IF Mosaic lowers cumsum
-            rank = jnp.cumsum(need_i) - need_i
-        else:
+        elif not hier:
             rank = jnp.dot(
-                tri, need.astype(jnp.float32),
+                tri, need_i.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
+        else:
+            need_f = need_i.astype(jnp.float32)  # [W] of {0,1}
+            nr = need_f[:, None] * r_mat  # [W, 128], {0,1}
+            a_mat = jnp.dot(q_mat.T, nr,
+                            preferred_element_type=jnp.float32)  # [nb, 128]
+            p_mat = jnp.dot(a_mat, tri_r,
+                            preferred_element_type=jnp.float32)  # <= 127
+            # Mosaic only lowers 2-D x 2-D dots: block totals and their
+            # prefix stay 2-D ([nb, 128] row-sum on the VPU, [nb, nb] x
+            # [nb, 128] through the MXU with {0, 1} x (<=128) operands)
+            block_tot = jnp.sum(a_mat, axis=1, keepdims=True)  # [nb, 1]
+            bp = jnp.dot(tri_nb, jnp.broadcast_to(block_tot, (nb, BLK)),
+                         preferred_element_type=jnp.float32)[:, :1]  # [nb,1]
+            # bp can exceed 256 (not bf16-exact)... but operands here are
+            # tri_nb in {0,1} and block_tot <= 128, so the MXU product is
+            # exact; the >256 SUM happens in the f32 accumulator.
+            term1 = jnp.sum(q_mat * bp.T, axis=1)  # [W], VPU broadcast
+            within = jnp.sum(
+                jnp.dot(q_mat, p_mat, preferred_element_type=jnp.float32)
+                * r_mat, axis=1)  # [W]
+            rank = (term1 + within).astype(jnp.int32)
 
         if ABLATE["no_window"]:
             word = jnp.zeros((W,), jnp.int32)

@@ -87,7 +87,24 @@ def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4):
     return PassStream(states, stream[:cap], n_words)
 
 
-def _decode_pass(ps: PassStream, rows, n: int, lo, w: int):
+def _pallas_decode_default(w: int) -> bool:
+    """Decoder-backend default: the Pallas Mosaic kernel on real TPU when
+    the lane count allows it (w % 128 == 0), the XLA scan otherwise.
+    Override with FLASHGMM_PALLAS_DECODE=0/1."""
+    import os
+
+    v = os.environ.get("FLASHGMM_PALLAS_DECODE", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    # measured on the v5e (tools/profile_pallas_variants.py): the Pallas
+    # kernel wins at W <= 512 (0.39 vs 2.36 ms at W=512, T=384) where the
+    # [W, W] triangular rank rides the MXU; at W >= 1024 the XLA scan's
+    # fewer-steps advantage wins (0.60 vs 2.47 ms at W=1024).
+    return w % 128 == 0 and w <= 512 and jax.default_backend() == "tpu"
+
+
+def _decode_pass(ps: PassStream, rows, n: int, lo, w: int,
+                 pallas: bool = False):
     t, _ = il.layout(n, w)
     active = il.active_mask(n, t, w)
     rows_l = il.to_lanes(rows, w, fill=0)
@@ -95,7 +112,12 @@ def _decode_pass(ps: PassStream, rows, n: int, lo, w: int):
     L = rows.shape[-1]
     dummy = (jnp.arange(L, dtype=jnp.int32) * (65536 // (L - 1))).clip(0, 65536)
     rows_l = jnp.where(active[..., None], rows_l, dummy)
-    symbols = il.decode_scan(ps.states, ps.stream, rows_l, active, lo)
+    if pallas:
+        from flashgmm_tpu.ans.pallas_coder import decode_scan_pallas
+
+        symbols = decode_scan_pallas(ps.states, ps.stream, rows_l, active, lo)
+    else:
+        symbols = il.decode_scan(ps.states, ps.stream, rows_l, active, lo)
     return il.from_lanes(symbols, n)
 
 
@@ -118,8 +140,14 @@ class FastCheckerboardGmmCodec:
     """
 
     def __init__(self, model, lanes: int = 128, max_abs: int = 47,
-                 cap_divisor: int = 4, bf16_transforms: bool = True):
+                 cap_divisor: int = 4, bf16_transforms: bool = True,
+                 pallas_decode: bool | None = None):
         self.lanes = int(lanes)
+        # decode-backend choice is static per codec (baked into the jits)
+        self.pallas_decode = (
+            _pallas_decode_default(self.lanes)
+            if pallas_decode is None else bool(pallas_decode)
+        )
         self.max_abs = int(max_abs)  # symbols clamped to [-max_abs, max_abs]
         self.cap_divisor = int(cap_divisor)
         # g_a/h_a/g_s run in bfloat16 on the MXU: they never need
@@ -296,7 +324,8 @@ class FastCheckerboardGmmCodec:
 
     def _decpass_impl(self, rows, ps):
         lo, _ = self._lo_bins()
-        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes)
+        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes,
+                            self.pallas_decode)
 
     def _zdec_impl(self, state, ps_z, zshape):
         m, ckbd, hyper, gmm_lc = self._modules(state)
@@ -305,7 +334,8 @@ class FastCheckerboardGmmCodec:
         b, zh, zw, c_z = zshape
         n_z = b * zh * zw * c_z
         rows_per_sym = self._z_rows_per_sym(z_rows, b * zh * zw)
-        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes,
+                             self.pallas_decode)
         return z_bin.reshape(b, zh, zw, c_z)
 
     def _embed_impl(self, state, sym0, sym1):

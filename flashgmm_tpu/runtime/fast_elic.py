@@ -29,8 +29,15 @@ from .fast_codec import (
 
 class FastElicGmmCodec:
     def __init__(self, model, lanes: int = 512, max_abs: int = 47,
-                 cap_divisor: int = 1, bf16_transforms: bool = True):
+                 cap_divisor: int = 1, bf16_transforms: bool = True,
+                 pallas_decode: bool | None = None):
         self.lanes = int(lanes)
+        from flashgmm_tpu.runtime.fast_codec import _pallas_decode_default
+
+        self.pallas_decode = (
+            _pallas_decode_default(self.lanes)
+            if pallas_decode is None else bool(pallas_decode)
+        )
         self.max_abs = int(max_abs)
         self.cap_divisor = int(cap_divisor)
         self.bf16_transforms = bool(bf16_transforms)
@@ -196,7 +203,8 @@ class FastElicGmmCodec:
 
     def _decpass_impl(self, rows, ps):
         lo, _ = self._lo_bins()
-        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes)
+        return _decode_pass(ps, rows, rows.shape[0], lo, self.lanes,
+                            self.pallas_decode)
 
     def _zdec_impl(self, state, ps_z, zshape):
         m, cg, hyper = self._modules(state)
@@ -207,7 +215,8 @@ class FastElicGmmCodec:
         rows_per_sym = jnp.broadcast_to(
             z_rows[None], (b * zh * zw, c_z, z_rows.shape[1])
         ).reshape(-1, z_rows.shape[1])
-        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes,
+                             self.pallas_decode)
         return z_bin.reshape(b, zh, zw, c_z)
 
     def _gs_impl(self, state, y_hat):

@@ -52,8 +52,14 @@ class FastLatencyGmmCodec:
 
     def __init__(self, model, lanes: int = 1024, max_abs: int = 47,
                  cap_divisor: int = 4, bf16_transforms: bool = True,
-                 fallback=None):
+                 fallback=None, pallas_decode: bool | None = None):
         self.lanes = int(lanes)
+        from flashgmm_tpu.runtime.fast_codec import _pallas_decode_default
+
+        self.pallas_decode = (
+            _pallas_decode_default(self.lanes)
+            if pallas_decode is None else bool(pallas_decode)
+        )
         self.max_abs = int(max_abs)
         self.cap_divisor = int(cap_divisor)
         self.bf16_transforms = bool(bf16_transforms)
@@ -199,7 +205,8 @@ class FastLatencyGmmCodec:
         zh, zw = h // 4, w // 4
         n_z = b * zh * zw * eb.channels
         rows_per_sym = self._z_rows_per_sym(z_rows, b * zh * zw)
-        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes)
+        z_bin = _decode_pass(ps_z, rows_per_sym, n_z, jnp.int32(0), self.lanes,
+                             self.pallas_decode)
         z_bin = z_bin.reshape(b, zh, zw, eb.channels)
 
         med = eb._get_medians()[:, 0, 0]
@@ -208,10 +215,12 @@ class FastLatencyGmmCodec:
 
         lo, _ = self._lo_bins()
         rows0 = self._rows0(ckbd, gmm_lc, side[0])
-        sym0 = _decode_pass(ps0, rows0, rows0.shape[0], lo, self.lanes)
+        sym0 = _decode_pass(ps0, rows0, rows0.shape[0], lo, self.lanes,
+                            self.pallas_decode)
         sym0 = sym0.reshape(b, h, w // 2, c)
         rows1 = self._rows1(ckbd, gmm_lc, side[1], sym0)
-        sym1 = _decode_pass(ps1, rows1, rows1.shape[0], lo, self.lanes)
+        sym1 = _decode_pass(ps1, rows1, rows1.shape[0], lo, self.lanes,
+                            self.pallas_decode)
         sym1 = sym1.reshape(b, h, w // 2, c)
         y_hat = ckbd.embed(
             jnp.stack([sym0, sym1]).astype(jnp.float32)

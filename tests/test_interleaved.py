@@ -150,14 +150,16 @@ class TestInterleavedRoundtrip:
 
 
 class TestPallasDecoder:
-    def test_interpret_mode_matches_scan(self):
-        """Experimental Pallas decoder is bit-identical to the scan decoder
-        (interpreter mode; compiled path is TPU-only)."""
+    @pytest.mark.parametrize("w", [128, 768])
+    def test_interpret_mode_matches_scan(self, w):
+        """Pallas decoder is bit-identical to the scan decoder (interpreter
+        mode; compiled path is TPU-only). w=128 exercises the [W, W]
+        triangular rank, w=768 the hierarchical two-stage rank (W > 512)."""
         from jax.experimental.pallas import tpu as pltpu
 
         from flashgmm_tpu.ans.pallas_coder import decode_scan_pallas
 
-        n, w, lo, nb = 2000, 128, -16, 33  # kernel needs w % 128 == 0
+        n, lo, nb = 2000 if w == 128 else 4000, -16, 33
         scales, means, weights = _gmm_params(n)
         values = np.clip(np.round(rng.normal(0, 3, n)), lo + 1, -lo - 1).astype(np.int32)
         start, freq = gmm_guarded_bounds(

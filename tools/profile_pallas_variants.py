@@ -7,7 +7,10 @@ variant (which would lift the W<=512 cap), and compares against the
 production scan at the same shapes.
 
 Ablated variants decode GARBAGE (stages are skipped) — only timing is
-meaningful; a final all-off run re-asserts bit-exactness.
+meaningful; the full run asserts bit-exactness.
+
+Timing: scalar-fetch walls minus an inline-measured tunnel RTT
+(block_until_ready on axon does not wait for execution — see CLAUDE.md).
 
 Usage (TPU): python tools/profile_pallas_variants.py [--lanes 512] [--t 384]
 """
@@ -31,77 +34,97 @@ from flashgmm_tpu.ans import pallas_coder
 p = argparse.ArgumentParser()
 p.add_argument("--lanes", type=int, default=512)
 p.add_argument("--t", type=int, default=384)
-p.add_argument("--reps", type=int, default=20)
+p.add_argument("--reps", type=int, default=5)
+p.add_argument("--ablate", action="store_true",
+               help="also time the stage-ablated variants")
 args = p.parse_args()
 
 W, T = args.lanes, args.t
 L = 98
 rng = np.random.RandomState(0)
 
-# build a real encoded stream so decode runs realistic data
-n = T * W
-scales = np.exp(rng.uniform(np.log(0.3), np.log(8.0), n)).astype(np.float32)
-symbols = np.clip(np.round(rng.randn(n) * scales), -40, 40).astype(np.int32)
-from flashgmm_tpu.ans.gaussian_cdf import gmm_guarded_rows
+# random strictly-monotone guarded boundary rows (realistic L)
+pmf = rng.gamma(0.3, 1.0, size=(T, W, L - 1)).astype(np.float64)
+pmf /= pmf.sum(-1, keepdims=True)
+q = np.maximum((pmf * (65536 - (L - 1))).astype(np.int64), 0) + 1
+q[..., -1] += 65536 - q.sum(-1)
+rows_np = np.zeros((T, W, L), np.int32)
+rows_np[..., 1:] = np.cumsum(q, -1)
+rows = jnp.asarray(rows_np)
 
-s = jnp.asarray(scales.reshape(-1, 1))
-m_ = jnp.zeros_like(s)
-w_ = jnp.ones_like(s)
-rows = gmm_guarded_rows(s, m_, w_, jnp.int32(-48), L - 1, 0)
-rows = jnp.concatenate(
-    [rows.astype(jnp.int32), jnp.full((n, 1), 65536, jnp.int32)], axis=1
-)
+sym = rng.randint(0, L - 1, size=(T, W)).astype(np.int32)
+start = np.take_along_axis(rows_np, sym[..., None], -1)[..., 0]
+nxt = np.take_along_axis(rows_np, sym[..., None] + 1, -1)[..., 0]
+active = jnp.ones((T, W), bool)
 
-sym_l = il.to_lanes(jnp.asarray(symbols), W, fill=0)
-rows_l = il.to_lanes(rows, W, fill=0)
-active = il.active_mask(n, T, W)
-L2 = rows_l.shape[-1]
-dummy = (jnp.arange(L2, dtype=jnp.int32) * (65536 // (L2 - 1))).clip(0, 65536)
-rows_l = jnp.where(active[..., None], rows_l, dummy)
+states, words, emits = jax.jit(il.encode_scan)(
+    jnp.asarray(start.astype(np.uint32)),
+    jnp.asarray((nxt - start).astype(np.uint32)), active)
+stream, n_words = jax.jit(il.pack_words)(words, emits)
+stream = jnp.asarray(np.asarray(stream))
+states = jnp.asarray(np.asarray(states))
+print(f"W={W} T={T} words={int(n_words)}", flush=True)
 
-states, stream, n_words = il.encode_scan(sym_l, rows_l, active, jnp.int32(-48))
-print(f"W={W} T={T} n={n} words={int(n_words)}", flush=True)
+def timeit(decode_fn):
+    """True device exec time via the K-slope fori_loop method
+    (see runtime/latency_probe.py) + the decoded output."""
+    out = jax.jit(decode_fn)(states, stream, rows, active, jnp.int32(0))
+
+    @jax.jit
+    def run(states0, zero, k):
+        def body(i, carry):
+            st, acc = carry
+            syms = decode_fn(st, stream, rows, active, jnp.int32(0))
+            tag = jnp.sum(syms[0, :8])
+            st = jnp.where(tag + zero == tag, states0, jnp.uint32(0))
+            return st, acc + tag
+
+        _, acc = jax.lax.fori_loop(0, k, body, (states0, jnp.int32(0)))
+        return acc
+
+    zero = jnp.int32(0)
+
+    def wall(k):
+        _ = int(run(states, zero, jnp.int32(k)))
+        t0 = time.time()
+        for _ in range(args.reps):
+            _ = int(run(states, zero, jnp.int32(k)))
+        return (time.time() - t0) / args.reps * 1e3
+
+    t1, t2 = wall(1), wall(5)
+    return (t2 - t1) / 4, out
 
 
-def timeit(f, *a):
-    out = jax.block_until_ready(f(*a))
-    t0 = time.time()
-    for _ in range(args.reps):
-        out = f(*a)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / args.reps * 1e3, out
-
-
-# production scan baseline
-t_scan, ref = timeit(
-    jax.jit(il.decode_scan), states, stream, rows_l, active, jnp.int32(-48)
-)
-print(f"decode_scan (XLA):          {t_scan:8.2f} ms", flush=True)
+t_scan, ref = timeit(il.decode_scan)
+ok = np.array_equal(np.asarray(ref), sym)
+print(f"decode_scan (XLA):        {t_scan:9.2f} ms  "
+      f"{'bit-exact' if ok else 'MISMATCH'}", flush=True)
 
 VARIANTS = [
     ("pallas full", {}),
-    ("  no_search", {"no_search": True}),
-    ("  no_lookup", {"no_lookup": True}),
-    ("  no_rank", {"no_rank": True}),
-    ("  no_window", {"no_window": True}),
-    ("  only state update", {"no_search": True, "no_lookup": True,
-                             "no_rank": True, "no_window": True}),
-    ("pallas rank_cumsum", {"rank_cumsum": True}),
 ]
+if args.ablate:
+    VARIANTS += [
+        ("  no_search", {"no_search": True}),
+        ("  no_lookup", {"no_lookup": True}),
+        ("  no_rank", {"no_rank": True}),
+        ("  no_window", {"no_window": True}),
+        ("  only state update", {"no_search": True, "no_lookup": True,
+                                 "no_rank": True, "no_window": True}),
+    ]
 
 for name, switches in VARIANTS:
     for k in pallas_coder.ABLATE:
         pallas_coder.ABLATE[k] = switches.get(k, False)
     try:
-        fn = jax.jit(pallas_coder.decode_scan_pallas)
-        t_ms, out = timeit(fn, states, stream, rows_l, active, jnp.int32(-48))
+        t_ms, out = timeit(pallas_coder.decode_scan_pallas)
         note = ""
-        if not any(switches.values()) or switches == {"rank_cumsum": True}:
-            ok = bool(jnp.all(out == ref))
-            note = "  bit-exact" if ok else "  MISMATCH"
-        print(f"{name:26s}  {t_ms:8.2f} ms{note}", flush=True)
+        if not any(switches.values()):
+            okv = np.array_equal(np.asarray(out), sym)
+            note = "  bit-exact" if okv else "  MISMATCH"
+        print(f"{name:26s}{t_ms:9.2f} ms{note}", flush=True)
     except Exception as e:
-        print(f"{name:26s}  FAILED: {type(e).__name__}: {str(e)[:120]}",
+        print(f"{name:26s}  FAILED: {type(e).__name__}: {str(e)[:140]}",
               flush=True)
 for k in pallas_coder.ABLATE:
     pallas_coder.ABLATE[k] = False

@@ -62,6 +62,20 @@ def main():
     print(f"batch-4: exact={ok}", flush=True)
     failures += not ok
 
+    # lanes=512: the Pallas Mosaic decode kernel is the default backend
+    # here (fast_codec._pallas_decode_default) — guard its exactness inside
+    # the full fused decode program, not just in isolation
+    codec512 = FastCheckerboardGmmCodec(model, lanes=512, cap_divisor=4)
+    assert codec512.pallas_decode, "expected Pallas decode at lanes=512 on TPU"
+    for seed in (500001, 500007):
+        x = jnp.asarray(textured_leaves(768, 512, seed=seed))[None]
+        data, enc = codec512.encode_to_bytes(x)
+        y_shape = tuple(enc["y_hat"].shape[1:])
+        y_dec = codec512.decode_y_hat(codec512.from_bytes(data, y_shape), y_shape)
+        ok = np.array_equal(np.asarray(y_dec), np.asarray(enc["y_hat"]))
+        print(f"pallas lanes=512 seed {seed}: exact={ok}", flush=True)
+        failures += not ok
+
     if failures:
         print(f"FAILED: {failures} mismatching round-trips")
         return 1
