@@ -183,6 +183,94 @@ def _decode_kernel(states_ref, stream_ref, rows_ref, active_ref, lo_ref,
         out_ref[k] = jnp.where(act, lo_ref[0] + s, 0)
 
 
+def _encode_kernel(starts_ref, freqs_ref, active_ref, states_ref,
+                   words_ref, emits_ref, x_scratch):
+    """One grid iteration = STEPS_PER_BLOCK encode steps, walked in REVERSE
+    time order (the grid's index_maps reverse the block order; inside a
+    block k runs high->low). Pure VPU math — no rank/window machinery; the
+    stream compaction stays in XLA (interleaved.pack_words)."""
+    tb = pl.program_id(0)
+
+    @pl.when(tb == 0)
+    def _init():
+        x_scratch[:] = jnp.full_like(x_scratch, jnp.uint32(1 << 16))
+
+    W = starts_ref.shape[1]
+
+    for k in range(STEPS_PER_BLOCK - 1, -1, -1):
+        x = x_scratch[:]
+        start = starts_ref[k]  # [W] uint32
+        freq = freqs_ref[k]  # [W] uint32
+        act = active_ref[k]  # [W] bool
+
+        x_max = freq << 16
+        emit = act & (x >= x_max)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x1 = jnp.where(emit, x >> 16, x)
+
+        # exact u32 // u16 restoring division (interleaved.divmod_u32_u16):
+        # immune to float lowering choices by construction
+        r = x1 >> 16
+        q = jnp.zeros_like(x1)
+        one = jnp.uint32(1)
+        for i in range(15, -1, -1):
+            r = (r << 1) | ((x1 >> i) & one)
+            ge = r >= freq
+            r = jnp.where(ge, r - freq, r)
+            q = jnp.where(ge, q | (one << i), q)
+
+        x2 = (q << 16) + r + start
+        x_scratch[:] = jnp.where(act, x2, x)
+        words_ref[k] = word
+        emits_ref[k] = emit
+
+    @pl.when(tb == pl.num_programs(0) - 1)
+    def _fin():
+        states_ref[:] = x_scratch[:]
+
+
+def encode_scan_pallas(starts, freqs, active):
+    """Drop-in replacement for interleaved.encode_scan (TPU).
+
+    Same contract: (states [W] u32, words [T, W] u16 candidates, emits
+    [T, W] bool in decoder consumption order). Requires W % 128 == 0.
+    """
+    T, W = starts.shape
+    assert W % BLK == 0, "pallas encoder needs lanes % 128 == 0"
+    tb = -(-T // STEPS_PER_BLOCK)
+    t_pad = tb * STEPS_PER_BLOCK - T
+    if t_pad:
+        # padding steps are inactive and sit at t >= T, i.e. they are
+        # processed FIRST in reverse order — harmless no-ops
+        zpad = jnp.zeros((t_pad, W), starts.dtype)
+        starts = jnp.concatenate([starts, zpad])
+        freqs = jnp.concatenate([freqs, jnp.ones((t_pad, W), freqs.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((t_pad, W), bool)])
+
+    rev = lambda t: (tb - 1 - t, 0)  # noqa: E731 — reverse time-block order
+    states, words, emits = pl.pallas_call(
+        _encode_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((W,), jnp.uint32),
+            jax.ShapeDtypeStruct((tb * STEPS_PER_BLOCK, W), jnp.int32),
+            jax.ShapeDtypeStruct((tb * STEPS_PER_BLOCK, W), jnp.bool_),
+        ),
+        grid=(tb,),
+        in_specs=[
+            pl.BlockSpec((STEPS_PER_BLOCK, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEPS_PER_BLOCK, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEPS_PER_BLOCK, W), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEPS_PER_BLOCK, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEPS_PER_BLOCK, W), rev, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((W,), jnp.uint32)],
+    )(starts.astype(jnp.uint32), freqs.astype(jnp.uint32), active)
+    return states, words[:T].astype(jnp.uint16), emits[:T]
+
+
 def decode_scan_pallas(states, stream, rows, active, lo):
     """Drop-in replacement for interleaved.decode_scan (TPU).
 

@@ -151,6 +151,42 @@ class TestInterleavedRoundtrip:
 
 class TestPallasDecoder:
     @pytest.mark.parametrize("w", [128, 768])
+    def test_encoder_interpret_mode_matches_scan(self, w):
+        """Pallas encoder produces identical states/words/emission masks to
+        interleaved.encode_scan (interpreter mode)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from flashgmm_tpu.ans.pallas_coder import encode_scan_pallas
+
+        n, lo, nb = 3000, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(np.round(rng.normal(0, 3, n)), lo + 1, -lo - 1).astype(np.int32)
+        start, freq = gmm_guarded_bounds(
+            jnp.asarray(values), scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        args = (il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
+                il.active_mask(n, t, w))
+        s_ref, w_ref, e_ref = il.encode_scan(*args)
+        with pltpu.force_tpu_interpret_mode():
+            s_out, w_out, e_out = encode_scan_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(s_out), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(e_out), np.asarray(e_ref))
+        em = np.asarray(e_ref)
+        np.testing.assert_array_equal(
+            np.asarray(w_out)[em], np.asarray(w_ref)[em]
+        )
+        # and the packed stream decodes back to the symbols
+        stream, _ = il.pack_words(w_out, e_out)
+        rows_l = il.to_lanes(
+            gmm_guarded_rows(scales, means, weights, jnp.int32(lo), nb), w
+        )
+        sym = il.decode_scan(s_out, stream, rows_l, args[2], jnp.int32(lo))
+        np.testing.assert_array_equal(
+            il.from_lanes(sym, n), values
+        )
+
+    @pytest.mark.parametrize("w", [128, 768])
     def test_interpret_mode_matches_scan(self, w):
         """Pallas decoder is bit-identical to the scan decoder (interpreter
         mode; compiled path is TPU-only). w=128 exercises the [W, W]
