@@ -18,6 +18,7 @@ them — identical reconstruction, tail-mass rate cost ~1e-9).
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -72,16 +73,22 @@ def apply_transform(mod, x, bf16: bool):
     return nnx.merge(gd, st)(x.astype(jnp.bfloat16)).astype(jnp.float32)
 
 
-def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4):
+def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4,
+                 pallas: bool = False):
     """Encode one symbol stream; the returned buffer is statically capped at
     ``T*W // cap_divisor`` words (~16/cap_divisor bits/symbol) to shrink the
     device->host fetch. ``n_words`` exceeding the cap signals overflow (the
     caller re-runs the uncapped variant — pathological inputs only)."""
     n = values.shape[0]
     t, _ = il.layout(n, w)
-    states, words, emits = il.encode_scan(
-        il.to_lanes(start, w), il.to_lanes(freq, w), il.active_mask(n, t, w)
-    )
+    args = (il.to_lanes(start, w), il.to_lanes(freq, w),
+            il.active_mask(n, t, w))
+    if pallas and w % 128 == 0:  # Mosaic kernel needs full 128-lane blocks
+        from flashgmm_tpu.ans.pallas_coder import encode_scan_pallas
+
+        states, words, emits = encode_scan_pallas(*args)
+    else:
+        states, words, emits = il.encode_scan(*args)
     stream, n_words = il.pack_words(words, emits)
     cap = max(t * w // cap_divisor, w)
     return PassStream(states, stream[:cap], n_words)
@@ -148,6 +155,11 @@ class FastCheckerboardGmmCodec:
             _pallas_decode_default(self.lanes)
             if pallas_decode is None else bool(pallas_decode)
         )
+        # encoder backend: XLA scan unless explicitly flipped (the Pallas
+        # encoder is correctness-proven but not yet faster at batch W)
+        self.pallas_encode = os.environ.get(
+            "FLASHGMM_PALLAS_ENCODE", "0") == "1"
+
         self.max_abs = int(max_abs)  # symbols clamped to [-max_abs, max_abs]
         self.cap_divisor = int(cap_divisor)
         # g_a/h_a/g_s run in bfloat16 on the MXU: they never need
@@ -264,7 +276,8 @@ class FastCheckerboardGmmCodec:
         z_start = z_start_i.astype(jnp.uint32)
         z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
         # z is ~10% of the payload; not worth the overflow risk of capping
-        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1,
+                            self.pallas_encode)
 
         y_ = ckbd.unembed(y)
         sym = jnp.clip(
@@ -319,7 +332,8 @@ class FastCheckerboardGmmCodec:
         nxt = jnp.max(jnp.where(bins == jbin[:, None] + 1, rows, 0), axis=1)
         freq = (nxt - start).astype(jnp.uint32)
         return _encode_pass(
-            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor
+            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor,
+            self.pallas_encode,
         )
 
     def _decpass_impl(self, rows, ps):
@@ -605,7 +619,8 @@ class FastCheckerboardGsmCodec(FastCheckerboardGmmCodec):
             jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1)
         z_start = z_start_i.astype(jnp.uint32)
         z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
-        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1,
+                            self.pallas_encode)
 
         y_ = ckbd.unembed(y)  # [2, b, h, w/2, c] float
         return ps_z, z_bin, y_[0], y_[1]

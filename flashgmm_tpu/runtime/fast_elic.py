@@ -38,6 +38,10 @@ class FastElicGmmCodec:
             _pallas_decode_default(self.lanes)
             if pallas_decode is None else bool(pallas_decode)
         )
+        import os
+
+        self.pallas_encode = os.environ.get(
+            "FLASHGMM_PALLAS_ENCODE", "0") == "1"
         self.max_abs = int(max_abs)
         self.cap_divisor = int(cap_divisor)
         self.bf16_transforms = bool(bf16_transforms)
@@ -127,7 +131,8 @@ class FastElicGmmCodec:
             jnp.where(zcols == zb[:, None] + 1, rows_per_sym, 0), axis=1)
         z_start = z_start_i.astype(jnp.uint32)
         z_freq = (z_nxt - z_start_i).astype(jnp.uint32)
-        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1)
+        ps_z = _encode_pass(zb, z_start, z_freq, self.lanes, 1,
+                            self.pallas_encode)
 
         syms = []
         for k, yk in enumerate(cg._split(y)):
@@ -198,7 +203,8 @@ class FastElicGmmCodec:
         nxt = jnp.max(jnp.where(bins == jbin[:, None] + 1, rows, 0), axis=1)
         freq = (nxt - start).astype(jnp.uint32)
         return _encode_pass(
-            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor
+            sym_flat, start.astype(jnp.uint32), freq, self.lanes, cap_divisor,
+            self.pallas_encode,
         )
 
     def _decpass_impl(self, rows, ps):

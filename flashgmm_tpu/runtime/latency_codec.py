@@ -60,6 +60,10 @@ class FastLatencyGmmCodec:
             _pallas_decode_default(self.lanes)
             if pallas_decode is None else bool(pallas_decode)
         )
+        import os
+
+        self.pallas_encode = os.environ.get(
+            "FLASHGMM_PALLAS_ENCODE", "0") == "1"
         self.max_abs = int(max_abs)
         self.cap_divisor = int(cap_divisor)
         self.bf16_transforms = bool(bf16_transforms)
@@ -169,7 +173,7 @@ class FastLatencyGmmCodec:
         )
         ps_z = _encode_pass(zb, z_start.astype(jnp.uint32),
                             (z_nxt - z_start).astype(jnp.uint32),
-                            self.lanes, 1)
+                            self.lanes, 1, self.pallas_encode)
 
         y_ = ckbd.unembed(y)
         sym = jnp.clip(
@@ -184,12 +188,12 @@ class FastLatencyGmmCodec:
         rows0 = self._rows0(ckbd, gmm_lc, side[0])
         s0, f0 = self._lookup(rows0, sym0.reshape(-1) - self._lo_bins()[0])
         ps0 = _encode_pass(sym0.reshape(-1), s0.astype(jnp.uint32), f0,
-                           self.lanes, cap_divisor)
+                           self.lanes, cap_divisor, self.pallas_encode)
 
         rows1 = self._rows1(ckbd, gmm_lc, side[1], sym0)
         s1, f1 = self._lookup(rows1, sym1.reshape(-1) - self._lo_bins()[0])
         ps1 = _encode_pass(sym1.reshape(-1), s1.astype(jnp.uint32), f1,
-                           self.lanes, cap_divisor)
+                           self.lanes, cap_divisor, self.pallas_encode)
 
         y_hat = ckbd.embed(sym.astype(jnp.float32))
         return ps_z, ps0, ps1, sym0, sym1, y_hat

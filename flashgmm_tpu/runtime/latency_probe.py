@@ -119,3 +119,58 @@ def measure_device_latency(lc, x, streams, y_shape, k1=2, k2=10, reps=4):
     d1 = timed(dec_run, k1, lc._state, streams)
     d2 = timed(dec_run, k2, lc._state, streams)
     return (e2 - e1) / (k2 - k1), (d2 - d1) / (k2 - k1)
+
+
+def measure_elic_device_latency(lc, x, streams, y_shape, k1=2, k2=8, reps=4):
+    """(encode_ms, decode_ms) per image for a FastLatencyElicCodec.
+
+    Same K-slope method as measure_device_latency, over the fused
+    single-program SCCTX encode/decode (latency_elic.py).
+    """
+    y_shape = tuple(int(s) for s in y_shape)
+
+    @jax.jit
+    def enc_run(state, x0, zero, k):
+        def body(i, carry):
+            xi, acc = carry
+            strs, y_hat = lc._encode_full_impl(state, xi, lc.cap_divisor)
+            tag = jnp.sum(y_hat[0, 0, 0, :8]).astype(jnp.int32)
+            for p in strs:
+                tag = tag + p.n_words + p.stream[0].astype(jnp.int32)
+            xi = jnp.where(tag + zero == tag, x0, 0.0)
+            return xi, acc + tag
+
+        _, acc = jax.lax.fori_loop(0, k, body, (x0, jnp.int32(0)))
+        return acc
+
+    @jax.jit
+    def dec_run(state, strs, zero, k):
+        def body(i, carry):
+            st, acc = carry
+            x_hat, y_hat = lc._decode_full_impl(state, st, y_shape)
+            tag = (jnp.sum(y_hat[0, 0, 0, :8]).astype(jnp.int32)
+                   + (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
+            z0 = st[0]
+            z0 = z0._replace(
+                states=jnp.where(tag + zero == tag, z0.states, jnp.uint32(0))
+            )
+            return (z0,) + tuple(st[1:]), acc + tag
+
+        _, acc = jax.lax.fori_loop(0, k, body, (strs, jnp.int32(0)))
+        return acc
+
+    zero = jnp.int32(0)
+    streams = jax.device_put(tuple(streams))
+
+    def timed(fn, k, *a):
+        _ = int(fn(*a, zero, jnp.int32(k)))
+        t0 = time.time()
+        for _ in range(reps):
+            _ = int(fn(*a, zero, jnp.int32(k)))
+        return (time.time() - t0) / reps * 1e3
+
+    e1 = timed(enc_run, k1, lc._state, x)
+    e2 = timed(enc_run, k2, lc._state, x)
+    d1 = timed(dec_run, k1, lc._state, streams)
+    d2 = timed(dec_run, k2, lc._state, streams)
+    return (e2 - e1) / (k2 - k1), (d2 - d1) / (k2 - k1)
