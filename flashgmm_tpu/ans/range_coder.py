@@ -3,9 +3,13 @@
 
 A carry-less byte-oriented range coder (Subbotin style) implementing the
 same table-path semantics as the rANS backend (same CDF tables, same
-out-of-range escape folding), so models can switch backends via
-``flashgmm_tpu.set_entropy_coder("rangecoder")``. Pure numpy; slower than
-the C++ rANS path — provided for API parity and cross-checking.
+out-of-range escape folding) AND the search-path "rows" semantics used by
+the GSM/GMM entropy models (same per-symbol quantized boundary rows, same
+``cum_freq == 65535`` bypass sentinel), so models can switch backends via
+``flashgmm_tpu.set_entropy_coder("rangecoder")`` for both table-based and
+table-free real coding. Pure numpy; slower than the C++ rANS path —
+provided for API parity and cross-checking. Note: the reference's optional
+backend covers the table path only; the rows path here goes beyond it.
 """
 
 import numpy as np
@@ -180,4 +184,96 @@ def decode_with_indexes(encoded, indexes, cdfs, cdfs_sizes, offsets):
             else:
                 value += max_value
         out[i] = value + offsets[idx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Search-path "rows" coding (GSM / GMM; same semantics as rans_numpy
+# encode_rows / decode_rows and csrc fg_encode_rows / fg_decode_rows)
+# ---------------------------------------------------------------------------
+
+MAX_CDF_VALUE = (1 << PRECISION) - 1
+
+
+def _put_bypass_value(enc: RangeEncoder, raw_val: int) -> None:
+    """Chunk-count prefix + BYPASS_PRECISION-bit chunks, LSB-first
+    (mirrors rans_numpy._SymbolBuffer.put_bypass_value)."""
+    raw_val = int(raw_val) & MASK32
+    n_bypass = 0
+    while (raw_val >> (n_bypass * BYPASS_PRECISION)) != 0:
+        n_bypass += 1
+    val = n_bypass
+    while val >= MAX_BYPASS_VAL:
+        enc.encode_bits(MAX_BYPASS_VAL, BYPASS_PRECISION)
+        val -= MAX_BYPASS_VAL
+    enc.encode_bits(val, BYPASS_PRECISION)
+    for j in range(n_bypass):
+        enc.encode_bits(
+            (raw_val >> (j * BYPASS_PRECISION)) & MAX_BYPASS_VAL,
+            BYPASS_PRECISION,
+        )
+
+
+def _get_bypass_value(dec: RangeDecoder) -> int:
+    val = dec.decode_bits(BYPASS_PRECISION)
+    n_bypass = val
+    while val == MAX_BYPASS_VAL:
+        val = dec.decode_bits(BYPASS_PRECISION)
+        n_bypass += val
+    raw = 0
+    for j in range(n_bypass):
+        raw |= dec.decode_bits(BYPASS_PRECISION) << (j * BYPASS_PRECISION)
+    return raw
+
+
+def encode_rows(values, rows, lo: int) -> bytes:
+    """Encode with precomputed per-symbol boundary CDF rows.
+
+    Args:
+        values: int32 [N] quantized symbol values.
+        rows: uint16 [N, L] with ``rows[i, j] = u16(cdf_i(lo + j - 0.5)*65535)``.
+        lo: integer value of the first bin.
+    """
+    values = np.asarray(values, np.int64).ravel()
+    rows = np.asarray(rows, np.uint16)
+    assert rows.shape[0] == values.shape[0]
+
+    enc = RangeEncoder()
+    for i in range(values.shape[0]):
+        j = int(values[i] - lo)
+        start = int(rows[i, j])
+        pmf = (int(rows[i, j + 1]) - start) & 0xFFFF
+        if pmf == 0:
+            # bypass: sentinel slot [65535, 65536), then raw u32 chunks
+            enc.encode(MAX_CDF_VALUE, 1)
+            _put_bypass_value(enc, int(values[i]))
+        else:
+            enc.encode(start, pmf)
+    return enc.finish()
+
+
+def decode_rows(encoded, rows, lo: int):
+    """Decode with precomputed rows; binary search per symbol (the
+    FlashGMM search-based decode, over the range coder)."""
+    rows = np.asarray(rows, np.uint16)
+    n, L = rows.shape
+    out = np.empty(n, np.int32)
+    dec = RangeDecoder(encoded)
+    for i in range(n):
+        cum_freq = dec.get_freq()
+        if cum_freq == MAX_CDF_VALUE:
+            dec.decode(MAX_CDF_VALUE, 1)
+            out[i] = np.int32(np.uint32(_get_bypass_value(dec)))
+        else:
+            row = rows[i]
+            s = int(np.searchsorted(row, cum_freq, side="right")) - 1
+            s = max(0, min(s, L - 2))
+            start = int(row[s])
+            pmf = (int(row[s + 1]) - start) & 0xFFFF
+            if pmf == 0:
+                pmf = 1
+                if start + pmf > (1 << PRECISION):
+                    start = (1 << PRECISION) - pmf
+            dec.decode(start, pmf)
+            out[i] = lo + s
     return out

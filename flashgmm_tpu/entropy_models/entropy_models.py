@@ -45,7 +45,7 @@ class QuantilesParam(nnx.Param):
 class _EntropyCoder:
     """Proxy to the selected coding backend (entropy_models.py:48-82):
     "rans" (default; C++/numpy + device rows paths) or "rangecoder"
-    (pure-numpy range coder, table path only)."""
+    (pure-numpy range coder; table path AND search/rows path)."""
 
     def __init__(self, method: str = None):
         if method is None:
@@ -75,6 +75,17 @@ class _EntropyCoder:
         if self._table is not None:
             return self._table.decode_with_indexes(*args)
         return self._decoder.decode_with_indexes(*args)
+
+    def encode_rows(self, values, rows, lo):
+        """Search-path coding over per-symbol boundary rows (GSM/GMM)."""
+        if self._table is not None:
+            return self._table.encode_rows(values, rows, lo)
+        return self._encoder.encode_rows(values, rows, lo)
+
+    def decode_rows(self, encoded, rows, lo):
+        if self._table is not None:
+            return self._table.decode_rows(encoded, rows, lo)
+        return self._decoder.decode_rows(encoded, rows, lo)
 
 
 class EntropyModel(nnx.Module):
@@ -563,7 +574,7 @@ class GaussianConditional(EntropyModel):
         for i in range(symbols_np.shape[0]):
             rows = self._gaussian_rows(scales_np[i], max_bs)
             strings.append(
-                self.entropy_coder._encoder.encode_rows(symbols_np[i], rows, -max_bs)
+                self.entropy_coder.encode_rows(symbols_np[i], rows, -max_bs)
             )
         return strings, abs_max
 
@@ -576,7 +587,7 @@ class GaussianConditional(EntropyModel):
         outputs = np.empty_like(scales_np, dtype=np.int32)
         for i, s in enumerate(strings):
             rows = self._gaussian_rows(scales_np[i], max_bs)
-            outputs[i] = self.entropy_coder._decoder.decode_rows(s, rows, -max_bs)
+            outputs[i] = self.entropy_coder.decode_rows(s, rows, -max_bs)
         outputs = _nchw_unflatten(outputs, scales_host.shape)
         return self.dequantize(jnp.asarray(outputs), means)
 
@@ -712,7 +723,7 @@ class GaussianMixtureConditional(GaussianConditional):
             )
         else:
             rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
-            rv = self.entropy_coder._encoder.encode_rows(symbols, rows, -max_bs)
+            rv = self.entropy_coder.encode_rows(symbols, rows, -max_bs)
 
         return (rv, abs_max, jnp.asarray(zero_bitmap)), jnp.asarray(
             y_quantized.astype(np.float32)
@@ -748,7 +759,7 @@ class GaussianMixtureConditional(GaussianConditional):
             )
         else:
             rows = self._boundary_rows(s_np, m_np, w_np, max_bs)
-            symbols = self.entropy_coder._decoder.decode_rows(
+            symbols = self.entropy_coder.decode_rows(
                 strings, rows, -max_bs
             )
 

@@ -220,3 +220,59 @@ class TestRangeCoderBackend:
             )
         finally:
             flashgmm_tpu.set_entropy_coder("rans")
+
+    def test_rows_roundtrip_with_bypass(self):
+        """Search-path rows coding on the range coder, incl. the
+        cum_freq==65535 bypass sentinel for pmf==0 slots."""
+        from flashgmm_tpu.ans import range_coder as rc
+
+        n, L = 400, 16
+        lo = -8
+        r = np.random.default_rng(3)
+        # strictly-monotone random rows ending below 2^16 so the last
+        # implied slot keeps nonzero mass
+        steps = r.integers(1, 4000, (n, L)).astype(np.uint32)
+        rows = np.cumsum(steps, axis=1)
+        rows = (rows.astype(np.float64) / rows[:, -1:] * 60000).astype(np.uint16)
+        rows[:, 0] = 0
+        values = r.integers(lo, lo + L - 2, n).astype(np.int32)
+        # force some pmf==0 slots (equal adjacent boundaries) -> bypass
+        for i in range(0, n, 37):
+            j = int(values[i] - lo)
+            rows[i, j + 1] = rows[i, j]
+        enc = rc.encode_rows(values, rows, lo)
+        out = rc.decode_rows(enc, rows, lo)
+        np.testing.assert_array_equal(out, values)
+
+    def test_gmm_model_roundtrip_rangecoder(self):
+        """GaussianMixtureConditional real coding over the rangecoder
+        backend (the reference's optional backend is table-only; here the
+        search path works on it too)."""
+        import jax.numpy as jnp
+
+        import flashgmm_tpu
+        from flashgmm_tpu.entropy_models import GaussianMixtureConditional
+
+        flashgmm_tpu.set_entropy_coder("rangecoder")
+        try:
+            K = 3
+            gmm = GaussianMixtureConditional(K=K)
+            assert gmm.entropy_coder.name == "rangecoder"
+            rs = np.random.RandomState(0)
+            x = jnp.asarray((rs.randn(1, 8, 8, 6) * 2).astype(np.float32))
+            m = 6
+            scales = jnp.asarray(
+                np.abs(rs.randn(1, 8, 8, K * m)).astype(np.float32) + 0.15
+            )
+            means = jnp.asarray(rs.randn(1, 8, 8, K * m).astype(np.float32))
+            raw_w = np.abs(rs.randn(1, 8, 8, K, m)).astype(np.float32) + 0.1
+            weights = jnp.asarray(
+                (raw_w / raw_w.sum(3, keepdims=True)).reshape(1, 8, 8, K * m)
+            )
+            (s, abs_max, zbm), _ = gmm.compress(x, scales, means, weights)
+            y_hat = gmm.decompress(s, abs_max, zbm, scales, means, weights)
+            np.testing.assert_allclose(
+                np.asarray(y_hat), np.asarray(jnp.round(x)), atol=1e-6
+            )
+        finally:
+            flashgmm_tpu.set_entropy_coder("rans")
