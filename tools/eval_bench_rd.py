@@ -1,7 +1,9 @@
-"""Measure the flagship's RD point through the REAL codec on held-out
-dead-leaves content and refresh results/synthetic/flashgmm_tpu-ckbd-gmm.json.
+"""Measure a trained model's RD point through the REAL codec on held-out
+dead-leaves content and refresh its results/synthetic/ JSON entry.
 
-Usage (TPU): python tools/eval_bench_rd.py [--images 8]
+Usage (TPU):
+    python tools/eval_bench_rd.py [--images 8]              # flagship ckbd-GMM
+    python tools/eval_bench_rd.py --arch elic [--images 8]  # ELIC2022GMM
 """
 
 import argparse
@@ -19,34 +21,96 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 import jax.numpy as jnp
 from flax import nnx
 
-from bench import _load_bench_weights
 from flashgmm_tpu.datasets.synthetic import textured_leaves
-from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
-from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
 from flashgmm_tpu.utils.metrics import ms_ssim, psnr
 
 p = argparse.ArgumentParser()
+p.add_argument("--arch", choices=("ckbd", "elic"), default="ckbd")
 p.add_argument("--images", type=int, default=8)
 p.add_argument("--lanes", type=int, default=512,
                help="small W: single-image files carry W*4*3 bytes of lane-state overhead")
-p.add_argument("--out", default="results/synthetic/flashgmm_tpu-ckbd-gmm.json")
+p.add_argument("--out", default=None)
 p.add_argument("--force", action="store_true",
                help="write results even if they fail the regression floors")
+p.add_argument("--hw", type=int, nargs=2, default=(768, 512),
+               help="eval image size (smoke-testing override)")
 args = p.parse_args()
 
-model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
-trained = _load_bench_weights(model)
-assert trained, "bench weights missing"
-model.update(update_quantiles=True)
-codec = FastCheckerboardGmmCodec(model, lanes=args.lanes, cap_divisor=4)
 
-H, W = 768, 512
+def _load_npz(model, path):
+    if not os.path.exists(path):
+        return False
+    data = np.load(path)
+    state = nnx.state(model, nnx.Param)
+    flat = nnx.to_flat_state(state)
+    for pth, v in flat:
+        keyname = "/".join(str(x) for x in pth)
+        if keyname in data:
+            v.value = jnp.asarray(data[keyname].astype(np.float32))
+    nnx.update(model, nnx.from_flat_state(flat))
+    return True
+
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if args.arch == "ckbd":
+    from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
+    from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
+
+    model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
+    assert _load_npz(model, os.path.join(
+        ROOT, "weights/ckbd_gmm_n192_k4_synthetic.npz")), "bench weights missing"
+    model.update(update_quantiles=True)
+    codec = FastCheckerboardGmmCodec(model, lanes=args.lanes, cap_divisor=4)
+
+    def roundtrip(x):
+        data, enc = codec.encode_to_bytes(x)
+        y_shape = tuple(enc["y_hat"].shape[1:])
+        return data, codec.decode_bytes(data, y_shape)
+
+    default_out = "results/synthetic/flashgmm_tpu-ckbd-gmm.json"
+    name = "flashgmm_tpu-cheng2020-anchor-checkerboard-gmm"
+    desc = ("Fast on-device codec (interleaved-rANS), N=192 K=4, trained ~19k "
+            "steps on dead-leaves content; held-out dead-leaves eval through "
+            "the REAL codec incl. all stream overheads; TPU v5e")
+else:
+    from flashgmm_tpu.models.elic_gmm import Elic2022GMM
+    from flashgmm_tpu.runtime import FastElicGmmCodec
+    from flashgmm_tpu.runtime.fast_codec import StreamOverflow
+
+    model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
+    assert _load_npz(model, os.path.join(
+        ROOT, "weights/elic_gmm_n192_m320_k4_synthetic.npz")), "elic weights missing"
+    model.update(update_quantiles=True)
+    codec = FastElicGmmCodec(model, lanes=args.lanes)
+
+    def roundtrip(x):
+        out = codec.encode(x)
+        try:
+            data = codec.to_bytes(out)
+        except StreamOverflow:
+            out = codec.encode(x, full=True)
+            data = codec.to_bytes(out)
+        y_shape = tuple(out["y_hat"].shape[1:])
+        rec = codec.decode(codec.from_bytes(data, y_shape), y_shape)
+        assert np.array_equal(
+            np.asarray(codec.decode_y_hat(codec.from_bytes(data, y_shape), y_shape)),
+            np.asarray(out["y_hat"])), "ELIC round-trip not exact"
+        return data, rec
+
+    default_out = "results/synthetic/flashgmm_tpu-elic-gmm.json"
+    name = "flashgmm_tpu-elic2022-gmm"
+    desc = ("Fast on-device SCCTX codec (interleaved-rANS, 5 channel groups x "
+            "checkerboard), N=192 M=320 K=4, trained on dead-leaves content; "
+            "held-out dead-leaves eval through the REAL codec incl. all stream "
+            "overheads, y_hat round-trip asserted exact; TPU v5e")
+
+out_path = args.out or default_out
+
+H, W = args.hw
 psnrs, ssims, bpps = [], [], []
 for i in range(args.images):
     x = jnp.asarray(textured_leaves(H, W, seed=600000 + i))[None]
-    data, enc = codec.encode_to_bytes(x)
-    y_shape = tuple(enc["y_hat"].shape[1:])
-    rec = codec.decode_bytes(data, y_shape)
+    data, rec = roundtrip(x)
     psnrs.append(float(psnr(x, rec)))
     ssims.append(float(ms_ssim(x, rec)))
     bpps.append(len(data) * 8 / (H * W))
@@ -69,19 +133,15 @@ if not args.force:
         "bug or weight regression; rerun with --force to override"
 
 out = {
-    "name": "flashgmm_tpu-cheng2020-anchor-checkerboard-gmm",
-    "description": (
-        "Fast on-device codec (interleaved-rANS), N=192 K=4, trained ~19k "
-        "steps on dead-leaves content; held-out dead-leaves eval through "
-        "the REAL codec incl. all stream overheads; TPU v5e"
-    ),
+    "name": name,
+    "description": desc,
     "results": {
         "psnr-rgb": [float(np.mean(psnrs))],
         "ms-ssim-rgb": [float(np.mean(ssims))],
         "bpp": [float(np.mean(bpps))],
     },
 }
-os.makedirs(os.path.dirname(args.out), exist_ok=True)
-with open(args.out, "w") as f:
+os.makedirs(os.path.dirname(out_path), exist_ok=True)
+with open(out_path, "w") as f:
     json.dump(out, f, indent=2)
-print("wrote", args.out)
+print("wrote", out_path)
