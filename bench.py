@@ -33,24 +33,13 @@ def _load_bench_weights(model):
     present; the codec timing path is identical either way."""
     import os
 
+    from flashgmm_tpu.zoo import load_npz_weights
+
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "weights/ckbd_gmm_n192_k4_synthetic.npz",
     )
-    if not os.path.exists(path):
-        return False
-    import jax.numpy as jnp
-    from flax import nnx
-
-    data = np.load(path)
-    state = nnx.state(model, nnx.Param)
-    flat = nnx.to_flat_state(state)
-    for p, v in flat:
-        keyname = "/".join(str(x) for x in p)
-        if keyname in data:
-            v.value = jnp.asarray(data[keyname].astype(np.float32))
-    nnx.update(model, nnx.from_flat_state(flat))
-    return True
+    return load_npz_weights(model, path) > 0
 
 
 def main():

@@ -57,7 +57,9 @@ class _EntropyCoder:
             from flashgmm_tpu.ans import range_coder
 
             self._table = range_coder
-            self._encoder = ans.RansEncoder()  # rows paths stay on rANS
+            # table AND rows paths dispatch to the range coder; the
+            # _encoder/_decoder below are kept for host-math-mode calls only
+            self._encoder = ans.RansEncoder()
             self._decoder = ans.RansDecoder()
         elif method == "rans":
             self._table = None
@@ -221,6 +223,36 @@ class EntropyModel(nnx.Module):
         return self.dequantize(jnp.asarray(outputs), means, dtype)
 
 
+@nnx.jit(static_argnums=(2, 3, 4))
+def _solve_quantiles(eb, target, search_radius, rtol, atol):
+    """Vectorized quantile bisection for EntropyBottleneck (one compiled
+    program; cached across update() calls by nnx.jit)."""
+    def logits(y):
+        return eb._logits_cumulative(y, stop_gradient=True)
+
+    # [C, 1, 3]: solve all three targets in one vectorized bisection
+    shape = (eb.channels, 1, target.shape[-1])
+    t = jnp.broadcast_to(target[None, None, :], shape)
+    low = jnp.full(shape, -search_radius, jnp.float32)
+    high = jnp.full(shape, search_radius, jnp.float32)
+    low = jnp.where(t <= logits(high), low, high)
+    high = jnp.where(logits(low) <= t, high, low)
+
+    def cond(state):
+        low, high = state
+        return ~jnp.all(jnp.abs(low - high) <= atol + rtol * jnp.abs(high))
+
+    def body(state):
+        low, high = state
+        mid = (low + high) / 2
+        f_mid = logits(mid)
+        return (jnp.where(f_mid <= t, mid, low),
+                jnp.where(f_mid >= t, mid, high))
+
+    low, high = jax.lax.while_loop(cond, body, (low, high))
+    return (low + high) / 2
+
+
 class EntropyBottleneck(EntropyModel):
     """Ballé factorized prior (entropy_models.py:330-618).
 
@@ -335,37 +367,13 @@ class EntropyBottleneck(EntropyModel):
         Runs as ONE jitted program (lax.while_loop over all three targets
         at once) — the float range halves from 1e5 to ~1e-3 in ~27 steps,
         and a host loop would pay a device round trip per step (~30-45 ms
-        each through the TPU tunnel)."""
-        def logits(y):
-            return self._logits_cumulative(y, stop_gradient=True)
-
-        @jax.jit
-        def solve(target):
-            # [C, 1, 3]: solve all three targets in one vectorized bisection
-            shape = (self.channels, 1, len(self.target.value))
-            t = jnp.broadcast_to(target[None, None, :], shape)
-            low = jnp.full(shape, -search_radius, jnp.float32)
-            high = jnp.full(shape, search_radius, jnp.float32)
-            low = jnp.where(t <= logits(high), low, high)
-            high = jnp.where(logits(low) <= t, high, low)
-
-            def cond(state):
-                low, high = state
-                return ~jnp.all(
-                    jnp.abs(low - high) <= atol + rtol * jnp.abs(high)
-                )
-
-            def body(state):
-                low, high = state
-                mid = (low + high) / 2
-                f_mid = logits(mid)
-                return (jnp.where(f_mid <= t, mid, low),
-                        jnp.where(f_mid >= t, mid, high))
-
-            low, high = jax.lax.while_loop(cond, body, (low, high))
-            return (low + high) / 2
-
-        self.quantiles.value = solve(self.target.value)
+        each through the TPU tunnel). The solver is a module-level nnx.jit
+        so repeated update() calls reuse the cached trace instead of
+        re-tracing per call."""
+        self.quantiles.value = _solve_quantiles(
+            self, self.target.value, float(search_radius), float(rtol),
+            float(atol)
+        )
 
     def update(self, force: bool = False, update_quantiles: bool = False) -> bool:
         """Build the quantized CDF tables (entropy_models.py:391-427)."""

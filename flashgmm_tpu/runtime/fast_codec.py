@@ -119,7 +119,7 @@ def _decode_pass(ps: PassStream, rows, n: int, lo, w: int,
     L = rows.shape[-1]
     dummy = (jnp.arange(L, dtype=jnp.int32) * (65536 // (L - 1))).clip(0, 65536)
     rows_l = jnp.where(active[..., None], rows_l, dummy)
-    if pallas:
+    if pallas and w % 128 == 0:  # Mosaic kernel needs full 128-lane blocks
         from flashgmm_tpu.ans.pallas_coder import decode_scan_pallas
 
         symbols = decode_scan_pallas(ps.states, ps.stream, rows_l, active, lo)

@@ -21,9 +21,11 @@ out of the certified program shaves its cost off every certification.
 A certificate failure (never observed, but possible after e.g. an XLA
 upgrade) falls back to the shared-program codec — and the fallback bytes
 are themselves certified against this decoder; if even that fails, the
-stream is remembered and ``decode()`` routes it through the fallback
-codec's own decoder, so no uncertified (encoder, decoder) pairing can
-ever be returned.
+stream's digest is remembered IN THIS INSTANCE and ``decode()`` routes it
+through the fallback codec's own decoder (with a RuntimeWarning: such
+bytes must be decoded by ``FastCheckerboardGmmCodec.decode_bytes`` in any
+other process — the digest memory does not persist), so no uncertified
+(encoder, decoder) pairing is ever silently used within an instance.
 
 Cites: reference single-image flow models/base.py:202-213 (compress/
 decompress); this latency mode has no reference counterpart (the
@@ -316,8 +318,20 @@ class FastLatencyGmmCodec:
         # cross-executable pairing check: fallback bytes through OUR decoder
         if not self._certify_bytes(data, y_shape, enc["y_hat"]):
             import hashlib
+            import warnings
 
             self._fallback_digests.add(hashlib.sha256(data).hexdigest())
+            # the digest memory is per-instance: THIS decode() routes the
+            # stream correctly, but a fresh process must decode it with
+            # FastCheckerboardGmmCodec.decode_bytes (same layout) — the
+            # stream is NOT certified against a fresh latency decoder
+            warnings.warn(
+                "latency-codec certification and cross-certification both "
+                "failed; returning composable-codec bytes routed via "
+                "in-memory digest. Decode these bytes in other processes "
+                "with FastCheckerboardGmmCodec.decode_bytes.",
+                RuntimeWarning,
+            )
         return data, y_shape
 
     def _serialize(self, passes):

@@ -113,13 +113,25 @@ class FastLatencyElicCodec(FastElicGmmCodec):
         caps = self.stream_capacities(y_shape)
         return [int(p.stream.shape[0]) for p in streams] == caps
 
-    def _certify_streams(self, streams, y_shape, y_hat_expected):
+    def _certify_streams_async(self, streams, y_shape, y_hat_expected):
+        """Launch on-chip certification; returns a device bool with its
+        host fetch already started (so callers can overlap other fetches
+        before blocking on it), or False if the launch itself failed."""
         try:
             _, y_dec = self._dec_full_jit(self._state, tuple(streams),
                                           tuple(y_shape))
-            return bool(self._cmp_jit(y_dec, y_hat_expected))
+            ok = self._cmp_jit(y_dec, y_hat_expected)
+            try:
+                ok.copy_to_host_async()
+            except AttributeError:
+                pass
+            return ok
         except Exception:
             return False
+
+    def _certify_streams(self, streams, y_shape, y_hat_expected):
+        return bool(self._certify_streams_async(streams, y_shape,
+                                                y_hat_expected))
 
     def encode_certified(self, x):
         """Fused encode + certification against the production decoder.
@@ -128,9 +140,14 @@ class FastLatencyElicCodec(FastElicGmmCodec):
         ``decode()`` (see module docstring)."""
         streams, y_hat = self._enc_full_jit(self._state, x, self.cap_divisor)
         y_shape = tuple(y_hat.shape)
+        # launch the on-chip certification and start ITS fetch before the
+        # stream fetch wave, so the cert result rides the same tunnel
+        # round trips instead of serializing in front of them
+        # (cf. latency_codec.py's ok_dev pattern)
+        ok_dev = None
         ok = None
         if self._streams_match_decode_layout(streams, y_shape):
-            ok = self._certify_streams(streams, y_shape, y_hat)
+            ok_dev = self._certify_streams_async(streams, y_shape, y_hat)
         for p in streams:
             for a in (p.n_words, p.states, p.stream):
                 a.copy_to_host_async()
@@ -138,6 +155,8 @@ class FastLatencyElicCodec(FastElicGmmCodec):
             data = self.to_bytes({"streams": list(streams)})
         except StreamOverflow:
             data = None
+        if ok_dev is not None:
+            ok = bool(ok_dev)
         if data is not None:
             if ok is None:
                 ok = self._certify_streams(
@@ -163,8 +182,17 @@ class FastLatencyElicCodec(FastElicGmmCodec):
             self.from_bytes(data, y_shape), y_shape, out["y_hat"]
         ):
             import hashlib
+            import warnings
 
             self._fallback_digests.add(hashlib.sha256(data).hexdigest())
+            # per-instance digest memory: see latency_codec._encode_fallback
+            warnings.warn(
+                "ELIC latency-codec certification and cross-certification "
+                "both failed; returning composable-codec bytes routed via "
+                "in-memory digest. Decode these bytes in other processes "
+                "with FastElicGmmCodec.decode.",
+                RuntimeWarning,
+            )
         return data, y_shape
 
     def decode_bytes(self, data: bytes, y_shape):

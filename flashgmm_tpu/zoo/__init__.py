@@ -1,4 +1,5 @@
 from .image import cfgs, image_models, model_architectures, create_model
+from .npz import load_npz_weights, save_npz_weights
 from .torch_convert import (
     load_checkpoint_file,
     load_torch_state_dict,

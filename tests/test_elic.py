@@ -89,13 +89,16 @@ class TestFastLatencyElicCodec:
             np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
         )
         orig = codec._certify_streams
-        # force primary certification to fail; fallback cross-cert also
-        # fails -> digest routing must kick in
+        orig_async = codec._certify_streams_async
+        # force primary certification (async launch) and the fallback
+        # cross-cert to fail -> digest routing must kick in
         codec._certify_streams = lambda *a, **k: False
+        codec._certify_streams_async = lambda *a, **k: False
         try:
             data, y_shape = codec.encode_certified(x)
         finally:
             codec._certify_streams = orig
+            codec._certify_streams_async = orig_async
         assert codec._fallback_digests
         x_hat = codec.decode_bytes(data, y_shape)
         assert x_hat.shape == x.shape

@@ -28,17 +28,9 @@ model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
 
 wpath = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "weights/elic_gmm_n192_m320_k4_synthetic.npz")
-trained = False
-if os.path.exists(wpath):
-    data = np.load(wpath)
-    state = nnx.state(model, nnx.Param)
-    flat = nnx.to_flat_state(state)
-    for p, v in flat:
-        keyname = "/".join(str(x) for x in p)
-        if keyname in data:
-            v.value = jnp.asarray(data[keyname].astype(np.float32))
-    nnx.update(model, nnx.from_flat_state(flat))
-    trained = True
+from flashgmm_tpu.zoo import load_npz_weights
+
+trained = load_npz_weights(model, wpath) > 0
 model.update(update_quantiles=True)
 codec = FastElicGmmCodec(model, lanes=512)
 img = jax.device_put(jnp.asarray(textured_leaves(H, W, seed=500001))[None])

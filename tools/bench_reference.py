@@ -56,15 +56,9 @@ def main():
     )
 
     ours = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
-    data = np.load(args.weights)
-    flat = nnx.to_flat_state(nnx.state(ours, nnx.Param))
-    n_loaded = 0
-    for path_, v in flat:
-        keyname = "/".join(str(q) for q in path_)
-        if keyname in data:
-            v.value = jnp.asarray(data[keyname].astype(np.float32))
-            n_loaded += 1
-    nnx.update(ours, nnx.from_flat_state(flat))
+    from flashgmm_tpu.zoo import load_npz_weights
+
+    n_loaded = load_npz_weights(ours, args.weights)
     print(f"loaded {n_loaded} tensors from {args.weights}")
 
     from tools.ref_bridge import import_reference_compressai

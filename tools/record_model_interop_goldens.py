@@ -159,7 +159,7 @@ def main():
                                               and "scale_bound" not in u][:10])
 
     # ---- crop screening: every torch/jax pair must sit further from its
-    # round() boundary than 20x the actual cross-backend difference ---------
+    # round() boundary than 2x the actual cross-backend difference ----------
     def boundary_safe(a_t, a_j, factor=2.0, floor=0.0):
         """Exact flip-equality is asserted separately; this additionally
         requires every value to sit further from its round() boundary than

@@ -54,16 +54,9 @@ if args.arch == "elic":
 else:
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
 if args.resume:
-    data = np.load(args.resume)
-    state = nnx.state(model, nnx.Param)
-    flat = nnx.to_flat_state(state)
-    n_loaded = 0
-    for path_, v in flat:
-        keyname = "/".join(str(q) for q in path_)
-        if keyname in data:
-            v.value = jnp.asarray(data[keyname].astype(np.float32))
-            n_loaded += 1
-    nnx.update(model, nnx.from_flat_state(flat))
+    from flashgmm_tpu.zoo import load_npz_weights
+
+    n_loaded = load_npz_weights(model, args.resume)
     print(f"resumed {n_loaded} param tensors from {args.resume}", flush=True)
 # lr drops 10x for the last 15% of training (reference uses MultiStepLR)
 sched = optax.piecewise_constant_schedule(
@@ -82,12 +75,9 @@ key = jax.random.key(0)
 
 
 def save_weights(tag=""):
-    state = nnx.state(model, nnx.Param)
-    arrays = {}
-    for path, v in nnx.to_flat_state(state):
-        keyname = "/".join(str(q) for q in path)
-        arrays[keyname] = np.asarray(jax.device_get(v.value)).astype(np.float16)
-    np.savez_compressed(args.out, **arrays)
+    from flashgmm_tpu.zoo import save_npz_weights
+
+    save_npz_weights(model, args.out)
     print(json.dumps({"event": "saved", "tag": tag, "path": args.out}), flush=True)
 
 
