@@ -180,3 +180,21 @@ class TestLatencyCodec:
         shared = FastCheckerboardGmmCodec(net, lanes=64, cap_divisor=1)
         streams = shared.from_bytes(data, tuple(y_shape)[1:])
         assert set(streams) == {"z", "y0", "y1"}
+
+
+class TestPallasGuard:
+    def test_pallas_decode_flag_guarded_at_small_lanes(self, setup):
+        """pallas_decode=True at lanes % 128 != 0 must fall back to the
+        scan (same guard as the encode side), not crash."""
+        net, _ = setup
+        codec = FastCheckerboardGmmCodec(
+            net, lanes=64, cap_divisor=1, bf16_transforms=False,
+            pallas_decode=True,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(11).rand(1, 64, 64, 3).astype(np.float32)
+        )
+        data, enc = codec.encode_to_bytes(x)
+        ysh = tuple(enc["y_hat"].shape[1:])
+        y = codec.decode_y_hat(codec.from_bytes(data, ysh), ysh)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(enc["y_hat"]))

@@ -189,3 +189,35 @@ class TestVideoEvalCLI:
         assert enc[0].endswith("EncoderAppStatic") and "--InputChromaFormat=420" in enc
         dec = _vtm_decode_cmd("/b", "o.bin", "r.yuv")
         assert dec[0].endswith("DecoderAppStatic")
+
+
+class TestZooNpz:
+    def test_save_load_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from flashgmm_tpu.models.google import FactorizedPrior
+        from flashgmm_tpu.zoo import load_npz_weights, save_npz_weights
+
+        net = FactorizedPrior(32, 64, rngs=nnx.Rngs(0))
+        path = str(tmp_path / "w.npz")
+        save_npz_weights(net, path)
+        net2 = FactorizedPrior(32, 64, rngs=nnx.Rngs(9))
+        n = load_npz_weights(net2, path)
+        assert n > 10
+        w1 = nnx.to_flat_state(nnx.state(net, nnx.Param))
+        w2 = nnx.to_flat_state(nnx.state(net2, nnx.Param))
+        for (p1, v1), (p2, v2) in zip(w1, w2):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(v1.value), np.asarray(v2.value), atol=1e-3
+            )
+
+    def test_load_missing_returns_zero(self):
+        from flax import nnx
+
+        from flashgmm_tpu.models.google import FactorizedPrior
+        from flashgmm_tpu.zoo import load_npz_weights
+
+        net = FactorizedPrior(32, 64, rngs=nnx.Rngs(0))
+        assert load_npz_weights(net, "/nonexistent/w.npz") == 0
