@@ -1,24 +1,37 @@
 // fgsc_encode: standalone image encoder.
 //
-//   fgsc_encode model.fgsam image.ppm bitstream.fgs [lambda]
+//   fgsc_encode [--int16] model.fgsam image.ppm bitstream.fgs [lambda]
 //
-// PPM in -> pad -> g_a (float interpreter) -> round(y - median) symbols
+// PPM in -> pad -> g_a (float interpreter, or int16 with --int16 on
+// ReLU-family stacks; net_q16.h) -> round(y - median) symbols
 // -> optional RDOQ (if lambda given) -> table-rANS bitstream.
 // cf. reference compressai/sadl_codec/encoder_generic.h:301-355 (same CLI
-// shape: image, bitstream, optional RDOQ lambda).
+// shape: image, bitstream, optional RDOQ lambda; the reference builds
+// separate _float/_int16 binaries, here it is a flag).
 
 #include <chrono>
 #include <cstdio>
+#include <cstring>
 
 #include "codec.h"
 #include "common.h"
 #include "net.h"
+#include "net_q16.h"
 
 int main(int argc, char **argv) {
+  bool int16_mode = false;
+  for (int i = 1; i < argc; ++i)
+    if (std::strcmp(argv[i], "--int16") == 0) {
+      int16_mode = true;
+      for (int j = i; j + 1 < argc; ++j) argv[j] = argv[j + 1];
+      --argc;
+      break;
+    }
   if (argc != 4 && argc != 5) {
     std::printf(
-        "usage: %s model.fgsam image.ppm bitstream.fgs [lambda]\n"
-        "  lambda: enable latent RDOQ with the given RD weight\n",
+        "usage: %s [--int16] model.fgsam image.ppm bitstream.fgs [lambda]\n"
+        "  lambda: enable latent RDOQ with the given RD weight\n"
+        "  --int16: quantized inference (ReLU stacks only)\n",
         argv[0]);
     return 1;
   }
@@ -33,12 +46,19 @@ int main(int argc, char **argv) {
     return 2;
   }
 
+  if (int16_mode && !fgsc::stack_supports_q16(m.g_a)) {
+    std::fprintf(stderr,
+                 "[fgsc] --int16 needs a ReLU-family g_a (GDN present); "
+                 "falling back to float\n");
+    int16_mode = false;
+  }
   const auto t0 = std::chrono::steady_clock::now();
   fgsc::Tensor x = fgsc::image_to_tensor(im, m.down);
-  fgsc::Tensor y = fgsc::run_stack(m.g_a, std::move(x));
+  fgsc::Tensor y = int16_mode ? fgsc::run_stack_q16(m.g_a, std::move(x))
+                              : fgsc::run_stack(m.g_a, std::move(x));
   const auto t1 = std::chrono::steady_clock::now();
-  std::printf("[fgsc] g_a: %dx%dx%d -> %dx%dx%d in %.0f ms\n", im.h, im.w, 3,
-              y.h, y.w, y.c,
+  std::printf("[fgsc] g_a(%s): %dx%dx%d -> %dx%dx%d in %.0f ms\n",
+              int16_mode ? "int16" : "float", im.h, im.w, 3, y.h, y.w, y.c,
               std::chrono::duration<double, std::milli>(t1 - t0).count());
 
   fgsc::LatentPlane p = fgsc::tensor_to_symbols(y, m);

@@ -170,6 +170,41 @@ def test_relu_variant(binaries, tmp_path):
     assert np.abs(_read_ppm(rec_ppm).astype(int) - rec_py8.astype(int)).max() <= 1
 
 
+def test_int16_variant(binaries, tmp_path):
+    """--int16 quantized inference (net_q16.h): ReLU stacks, recon close
+    to the float engine's, falls back gracefully on GDN stacks."""
+    enc, dec = binaries
+    model = FactorizedPriorReLU(N=32, M=48, rngs=nnx.Rngs(2))
+    model.update(update_quantiles=True)
+    card = tmp_path / "relu.fgsam"
+    export_model_card(model, str(card))
+    img = _test_image(seed=7)
+    ppm = tmp_path / "in.ppm"
+    _write_ppm(ppm, img)
+
+    recs = {}
+    for name, flags in (("float", []), ("int16", ["--int16"])):
+        bs = tmp_path / f"{name}.fgs"
+        r = subprocess.run([enc, *flags, card, ppm, bs], check=True,
+                           capture_output=True, text=True)
+        assert f"g_a({name})" in r.stdout
+        rec = tmp_path / f"{name}.ppm"
+        subprocess.run([dec, *flags, card, bs, rec], check=True,
+                       capture_output=True)
+        recs[name] = _read_ppm(rec).astype(int)
+    assert np.abs(recs["float"] - recs["int16"]).mean() < 3.0
+
+    # GDN stack: --int16 falls back to float with a warning, still decodes
+    gdn_model = FactorizedPrior(N=32, M=48, rngs=nnx.Rngs(3))
+    gdn_model.update(update_quantiles=True)
+    gdn_card = tmp_path / "gdn.fgsam"
+    export_model_card(gdn_model, str(gdn_card))
+    bs = tmp_path / "gdn.fgs"
+    r = subprocess.run([enc, "--int16", gdn_card, ppm, bs], check=True,
+                       capture_output=True, text=True)
+    assert "falling back to float" in r.stderr
+
+
 def test_header_fields(tiny_model):
     img = _test_image(50, 70, seed=6)
     data = encode_bitstream(tiny_model, img)

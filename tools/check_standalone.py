@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--M", type=int, default=192)
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--rdoq", type=float, default=None)
+    ap.add_argument("--int16", action="store_true",
+                    help="quantized inference (ReLU-family stacks)")
     args = ap.parse_args()
 
     import jax
@@ -101,7 +103,8 @@ def main():
         ppm = tmp / f"{i}.ppm"
         write_ppm(ppm, img)
         bs = tmp / f"{i}.fgs"
-        cmd = [str(enc), str(card), str(ppm), str(bs)]
+        mode = ["--int16"] if args.int16 else []
+        cmd = [str(enc), *mode, str(card), str(ppm), str(bs)]
         if args.rdoq is not None:
             cmd.append(str(args.rdoq))
         t0 = time.time()
@@ -109,7 +112,7 @@ def main():
         t_enc = (time.time() - t0) * 1000
         rec_ppm = tmp / f"{i}_rec.ppm"
         t0 = time.time()
-        subprocess.run([str(dec), str(card), str(bs), str(rec_ppm)],
+        subprocess.run([str(dec), *mode, str(card), str(bs), str(rec_ppm)],
                        check=True, capture_output=True)
         t_dec = (time.time() - t0) * 1000
         rec = read_ppm(rec_ppm)
@@ -121,8 +124,8 @@ def main():
               f"enc {t_enc:.0f} ms, dec {t_dec:.0f} ms", file=sys.stderr)
 
     summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-    summary.update(arch=args.arch, n_images=len(rows),
-                   rdoq=args.rdoq, trained=bool(args.weights))
+    summary.update(arch=args.arch, n_images=len(rows), rdoq=args.rdoq,
+                   trained=bool(args.weights), int16=args.int16)
     print(json.dumps(summary))
 
 
