@@ -40,6 +40,37 @@ def rate_distortion_loss(output, target, lmbda: float = 1e-2, metric: str = "mse
     }
 
 
+def video_rate_distortion_loss(output, frames, lmbda: float = 1e-2):
+    """Multi-frame RD loss for video models (ssf2020).
+
+    Equivalent of the reference's video RateDistortionLoss
+    (examples/train_video.py:73-190): distortion = mean over frames of
+    scaled MSE; rate = total bits of every per-frame likelihood tensor
+    per frame-pixel. ``output`` is the ScaleSpaceFlow forward dict
+    ({"x_hat": [frame, ...], "likelihoods": [tree, ...]}), ``frames`` the
+    matching list/tuple of [N, H, W, 3] targets.
+    """
+    import jax
+
+    n, h, w, _ = frames[0].shape
+    num_pixels = n * h * w
+
+    bpp_loss = sum(
+        jnp.sum(jnp.log(lk)) / (-math.log(2) * num_pixels)
+        for frame_lk in output["likelihoods"]
+        for lk in jax.tree.leaves(frame_lk)
+    )
+    mse_loss = sum(
+        jnp.mean((x_hat - x) ** 2)
+        for x_hat, x in zip(output["x_hat"], frames)
+    ) / len(frames)
+    return {
+        "loss": lmbda * 255**2 * mse_loss + bpp_loss,
+        "bpp_loss": bpp_loss,
+        "mse_loss": mse_loss,
+    }
+
+
 @register_criterion("RateDistortionLoss")
 class RateDistortionLoss:
     def __init__(self, lmbda: float = 1e-2, metric: str = "mse"):

@@ -60,3 +60,82 @@ def data_parallel_train_step(model, opt_net, opt_aux, batch, key, lmbda: float =
         "mse_loss": details["mse_loss"],
         "aux_loss": aux_loss,
     }
+
+
+@nnx.jit(static_argnames=("lmbda",))
+def video_train_step(model, opt_net, opt_aux, frames, key, lmbda: float = 1e-2):
+    """One multi-frame RD step for video models (ssf2020).
+
+    ``frames`` is a tuple of [B, H, W, 3] arrays (static length = GOP
+    size); batch-shard each frame over the data axis for SPMD. Mirrors
+    the reference's examples/train_video.py train_one_epoch.
+    """
+    from flashgmm_tpu.losses import video_rate_distortion_loss
+
+    def loss_fn(m):
+        out = m(list(frames), training=True, key=key)
+        d = video_rate_distortion_loss(out, frames, lmbda=lmbda)
+        return d["loss"], d
+
+    grad_fn = nnx.value_and_grad(
+        loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
+    )
+    (loss, details), grads = grad_fn(model)
+    opt_net.update(model, grads)
+
+    aux_grad_fn = nnx.value_and_grad(
+        lambda m: m.aux_loss(), argnums=nnx.DiffState(0, AUX_FILTER)
+    )
+    aux_loss, aux_grads = aux_grad_fn(model)
+    opt_aux.update(model, aux_grads)
+
+    return {
+        "loss": loss,
+        "bpp_loss": details["bpp_loss"],
+        "mse_loss": details["mse_loss"],
+        "aux_loss": aux_loss,
+    }
+
+
+@nnx.jit(static_argnames=("loss_type", "lmbda"))
+def pointcloud_train_step(model, opt_net, opt_aux, points, key,
+                          loss_type: str = "chamfer", lmbda: float = 1.0):
+    """One RD step for point-cloud models ([B, N, 3] inputs).
+
+    ``loss_type``: "chamfer" (PointNet-family rec models) or "hrtzxf2022"
+    (density-preserving rec model). Mirrors the reference's
+    examples/train_pointcloud.py with the registered criterion choice.
+    """
+    from flashgmm_tpu.losses.pointcloud import (
+        ChamferPccRateDistortionLoss,
+        RateDistortionLossHrtzxf2022,
+    )
+
+    criterion = (
+        RateDistortionLossHrtzxf2022()  # weight dict defaults; lmbda unused
+        if loss_type == "hrtzxf2022"
+        else ChamferPccRateDistortionLoss(lmbda=lmbda)
+    )
+
+    def loss_fn(m):
+        out = m(points, training=True, key=key)
+        d = criterion(out, points)
+        return d["loss"], d
+
+    grad_fn = nnx.value_and_grad(
+        loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
+    )
+    (loss, details), grads = grad_fn(model)
+    opt_net.update(model, grads)
+
+    aux_grad_fn = nnx.value_and_grad(
+        lambda m: m.aux_loss(), argnums=nnx.DiffState(0, AUX_FILTER)
+    )
+    aux_loss, aux_grads = aux_grad_fn(model)
+    opt_aux.update(model, aux_grads)
+
+    out = {"loss": loss, "aux_loss": aux_loss}
+    for k in ("bpp_loss", "rec_loss", "chamfer_loss"):
+        if k in details:
+            out[k] = details[k]
+    return out
