@@ -13,6 +13,7 @@ MODELS: Dict[str, Callable] = {}
 MODULES: Dict[str, Callable] = {}
 OPTIMIZERS: Dict[str, Callable] = {}
 SCHEDULERS: Dict[str, Callable] = {}
+TRANSFORMS: Dict[str, Callable] = {}
 
 
 def _register(registry: Dict[str, Callable], name: str = None):
@@ -45,3 +46,7 @@ def register_optimizer(name: str = None):
 
 def register_scheduler(name: str = None):
     return _register(SCHEDULERS, name)
+
+
+def register_transform(name: str = None):
+    return _register(TRANSFORMS, name)
