@@ -26,3 +26,4 @@ standalone:
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
 	rm -f flashgmm_tpu/ans/_librans.so
+	rm -rf build

@@ -221,6 +221,18 @@ inline bool read_bitstream(const std::string &path, const ModelCard &m,
          static_cast<std::streamsize>(bitmap.size()));
   uint32_t blen = 0;
   f.read(reinterpret_cast<char *>(&blen), 4);
+  // sanity-check the untrusted length against the actual remaining file
+  // size before allocating (a corrupt header must not trigger a 4 GiB
+  // allocation attempt)
+  const std::streampos body_start = f.tellg();
+  f.seekg(0, std::ios::end);
+  const std::streamoff remaining = f.tellg() - body_start;
+  if (!f.good() || remaining < static_cast<std::streamoff>(blen)) {
+    std::fprintf(stderr, "[fgsc] truncated/corrupt bitstream (body %u > %lld)\n",
+                 blen, static_cast<long long>(remaining));
+    return false;
+  }
+  f.seekg(body_start);
   std::vector<uint8_t> body(blen);
   f.read(reinterpret_cast<char *>(body.data()), blen);
   if (!f.good()) return false;

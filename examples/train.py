@@ -139,7 +139,7 @@ def main(argv=None):
                 model, opt_net, opt_aux, x, sub, args.lmbda
             )
             loss = float(out["loss"])
-            if not np.isfinite(loss):  # NaN-batch skip (reference :263-267)
+            if not np.isfinite(loss):  # log only; the step already zeroed the update
                 continue
             n_steps += 1
             for k, v in out.items():

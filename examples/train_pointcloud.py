@@ -7,7 +7,7 @@ checkpointing.
 
 Usage:
     python examples/train_pointcloud.py -d /path/to/clouds \
-        --model sfu-pointnet-pcc --num-points 1024 --lambda 1.0
+        --model sfu-pcc-rec-pointnet --num-points 1024 --lambda 1.0
 """
 
 import argparse
@@ -120,7 +120,7 @@ def main(argv=None):
                 loss_type=loss_type, lmbda=args.lmbda,
             )
             loss = float(out["loss"])
-            if not np.isfinite(loss):
+            if not np.isfinite(loss):  # log only; the step already zeroed the update
                 print(f"  step {step}: non-finite loss, skipped")
                 continue
             losses.append(loss)

@@ -91,7 +91,7 @@ def main(argv=None):
                 model, opt_net, opt_aux, frames, sub, lmbda=args.lmbda
             )
             loss = float(out["loss"])
-            if not np.isfinite(loss):  # NaN-batch skip (reference :263-267)
+            if not np.isfinite(loss):  # log only; the step already zeroed the update
                 print(f"  step {step}: non-finite loss, skipped")
                 continue
             losses.append(loss)

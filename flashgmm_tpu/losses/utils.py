@@ -26,8 +26,3 @@ def compute_rate_loss(likelihoods, batch_size, num_pixels_per_item):
     out["bpp_loss"] = out["bit_loss"] / num_pixels_per_item
     return out
 
-
-def compute_scaled_distortion(distortion, bitdepth: int = 8):
-    """(2^bitdepth - 1)^2 * distortion (the reference's MSE scaling)."""
-    return (2**bitdepth - 1) ** 2 * distortion
-

@@ -18,6 +18,25 @@ NET_FILTER = nnx.All(nnx.Param, nnx.Not(QuantilesParam))
 AUX_FILTER = QuantilesParam
 
 
+def _guard_nonfinite(loss, grads):
+    """Zero the whole gradient update when the loss or any gradient is
+    non-finite.
+
+    The update is applied inside this jitted step, so a host-side
+    ``isfinite(loss)`` check alone comes too late — one exploding batch
+    would already have written NaN into params AND Adam state, poisoning
+    the run permanently. With zeroed grads Adam only decays its moments
+    one step (harmless); NaN/Inf can never enter. The host loop still
+    logs the skip (reference train_ckbd_gmm.py:263-267 behavior).
+    """
+    import jax.numpy as jnp
+
+    ok = jnp.isfinite(loss)
+    for leaf in jax.tree.leaves(grads):
+        ok = ok & jnp.all(jnp.isfinite(leaf))
+    return jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+
+
 def make_train_state(model, learning_rate=1e-4, aux_learning_rate=1e-3,
                      clip_max_norm=1.0):
     """Returns (net_optimizer, aux_optimizer) nnx.Optimizers."""
@@ -45,14 +64,14 @@ def data_parallel_train_step(model, opt_net, opt_aux, batch, key, lmbda: float =
         loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
     )
     (loss, details), grads = grad_fn(model)
-    opt_net.update(model, grads)
+    opt_net.update(model, _guard_nonfinite(loss, grads))
 
     def aux_loss_fn(m):
         return m.aux_loss()
 
     aux_grad_fn = nnx.value_and_grad(aux_loss_fn, argnums=nnx.DiffState(0, AUX_FILTER))
     aux_loss, aux_grads = aux_grad_fn(model)
-    opt_aux.update(model, aux_grads)
+    opt_aux.update(model, _guard_nonfinite(aux_loss, aux_grads))
 
     return {
         "loss": loss,
@@ -81,13 +100,13 @@ def video_train_step(model, opt_net, opt_aux, frames, key, lmbda: float = 1e-2):
         loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
     )
     (loss, details), grads = grad_fn(model)
-    opt_net.update(model, grads)
+    opt_net.update(model, _guard_nonfinite(loss, grads))
 
     aux_grad_fn = nnx.value_and_grad(
         lambda m: m.aux_loss(), argnums=nnx.DiffState(0, AUX_FILTER)
     )
     aux_loss, aux_grads = aux_grad_fn(model)
-    opt_aux.update(model, aux_grads)
+    opt_aux.update(model, _guard_nonfinite(aux_loss, aux_grads))
 
     return {
         "loss": loss,
@@ -126,13 +145,13 @@ def pointcloud_train_step(model, opt_net, opt_aux, points, key,
         loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
     )
     (loss, details), grads = grad_fn(model)
-    opt_net.update(model, grads)
+    opt_net.update(model, _guard_nonfinite(loss, grads))
 
     aux_grad_fn = nnx.value_and_grad(
         lambda m: m.aux_loss(), argnums=nnx.DiffState(0, AUX_FILTER)
     )
     aux_loss, aux_grads = aux_grad_fn(model)
-    opt_aux.update(model, aux_grads)
+    opt_aux.update(model, _guard_nonfinite(aux_loss, aux_grads))
 
     out = {"loss": loss, "aux_loss": aux_loss}
     for k in ("bpp_loss", "rec_loss", "chamfer_loss"):

@@ -83,10 +83,17 @@ def unpack_bitstream(data: bytes, model):
     """Parse a standalone bitstream -> (symbols [Hl, Wl, M], img_w, img_h)."""
     if data[:8] != _MAGIC:
         raise ValueError("bad standalone bitstream magic")
-    img_w, img_h, m_ch, down, _flags = struct.unpack_from("<HHHBB", data, 8)
+    img_w, img_h, m_ch, down, flags = struct.unpack_from("<HHHBB", data, 8)
     cdfs, lengths, offsets, _ = _eb_tables(model)
     if m_ch != cdfs.shape[0]:
         raise ValueError("bitstream/model channel mismatch")
+    if down != int(getattr(model, "downsampling_factor", 16)):
+        raise ValueError(
+            f"bitstream downsampling {down} != model's "
+            f"{getattr(model, 'downsampling_factor', 16)}"
+        )
+    if flags != 1:
+        raise ValueError(f"unknown bitstream flags {flags}")
     nbm = (m_ch + 7) // 8
     bitmap = np.unpackbits(
         np.frombuffer(data, np.uint8, nbm, 16), bitorder="little"

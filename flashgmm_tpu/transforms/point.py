@@ -215,11 +215,19 @@ class GeneratePositionNormals:
         pos = np.asarray(data["pos"], np.float32)
         n = pos.shape[0]
         k = min(self.k, n)
-        d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
-        nbr = np.argpartition(d2, k - 1, axis=1)[:, :k]
-        local = pos[nbr]  # [n, k, 3]
-        local = local - local.mean(axis=1, keepdims=True)
-        cov = np.einsum("nki,nkj->nij", local, local) / k
-        _, vecs = np.linalg.eigh(cov)  # ascending: smallest eigvec = normal
-        data["normal"] = vecs[:, :, 0].astype(np.float32)
+        # chunk the kNN queries: a full [n, n] distance matrix would need
+        # ~58 GB for a raw SemanticKITTI sweep (~120k points)
+        chunk = max(1, int(16_000_000 // max(n, 1)))
+        normals = np.empty((n, 3), np.float32)
+        sq = (pos**2).sum(-1)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d2 = sq[lo:hi, None] - 2.0 * (pos[lo:hi] @ pos.T) + sq[None, :]
+            nbr = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            local = pos[nbr]  # [chunk, k, 3]
+            local = local - local.mean(axis=1, keepdims=True)
+            cov = np.einsum("nki,nkj->nij", local, local) / k
+            _, vecs = np.linalg.eigh(cov)  # ascending: smallest = normal
+            normals[lo:hi] = vecs[:, :, 0]
+        data["normal"] = normals
         return data

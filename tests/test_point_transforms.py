@@ -88,3 +88,34 @@ def test_generate_normals_planar():
     ).astype(np.float32)
     out = GeneratePositionNormals(k=12)({"pos": pos})
     assert np.abs(out["normal"][:, 2]).min() > 0.99
+
+
+def test_compute_rate_loss_breakdown():
+    import jax.numpy as jnp
+
+    from flashgmm_tpu.losses import compute_rate_loss
+
+    lk = {"y": jnp.full((2, 4, 4, 8), 0.5), "z": jnp.full((2, 2, 2, 4), 0.25)}
+    out = compute_rate_loss(lk, batch_size=2, num_pixels_per_item=64 * 64)
+    # every symbol at p=0.5 costs exactly 1 bit, p=0.25 costs 2
+    assert float(out["bit_y_loss"]) == 4 * 4 * 8
+    assert float(out["bit_z_loss"]) == 2 * 2 * 4 * 2
+    assert float(out["bit_loss"]) == float(out["bit_y_loss"] + out["bit_z_loss"])
+    assert abs(float(out["bpp_loss"]) - float(out["bit_loss"]) / 4096) < 1e-6
+
+
+def test_guard_nonfinite_blocks_nan_update():
+    import jax
+    import jax.numpy as jnp
+
+    from flashgmm_tpu.parallel.train import _guard_nonfinite
+
+    grads = {"a": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
+    ok = _guard_nonfinite(jnp.float32(1.0), grads)
+    assert float(ok["a"][0]) == 1.0
+    bad_loss = _guard_nonfinite(jnp.float32(jnp.nan), grads)
+    assert float(jnp.abs(bad_loss["a"]).max()) == 0.0
+    bad_grad = _guard_nonfinite(
+        jnp.float32(1.0), {"a": jnp.ones(3), "b": jnp.float32([jnp.inf, 0])}
+    )
+    assert all(float(jnp.abs(v).max()) == 0.0 for v in jax.tree.leaves(bad_grad))

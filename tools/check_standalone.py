@@ -86,7 +86,11 @@ def main():
     if args.images:
         from PIL import Image
 
-        paths = sorted(Path(args.images).glob("*"))[: args.n]
+        exts = {".png", ".jpg", ".jpeg", ".ppm", ".bmp", ".tif", ".tiff"}
+        paths = sorted(
+            p for p in Path(args.images).iterdir()
+            if p.is_file() and p.suffix.lower() in exts
+        )[: args.n]
         images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
     else:
         from flashgmm_tpu.datasets.synthetic import textured_leaves
@@ -123,6 +127,9 @@ def main():
         print(f"[check] img {i}: {bpp:.4f} bpp, {psnr:.2f} dB, "
               f"enc {t_enc:.0f} ms, dec {t_dec:.0f} ms", file=sys.stderr)
 
+    if not rows:
+        print(json.dumps({"error": "no images found", "n_images": 0}))
+        return 1
     summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     summary.update(arch=args.arch, n_images=len(rows), rdoq=args.rdoq,
                    trained=bool(args.weights), int16=args.int16)
@@ -130,4 +137,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
