@@ -30,7 +30,16 @@ def load_point_cloud(path):
     return np.asarray(pts[:, :3], np.float32)
 
 
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
 def _load_ascii_ply(path):
+    """ASCII or binary PLY -> [n, 3] xyz float32 (vertex element only)."""
     with open(path, "rb") as f:
         header = []
         while True:
@@ -38,13 +47,34 @@ def _load_ascii_ply(path):
             header.append(line)
             if line == "end_header":
                 break
+        fmt = next(
+            (h.split()[1] for h in header if h.startswith("format")), "ascii"
+        )
         n = next(
             int(h.split()[-1]) for h in header if h.startswith("element vertex")
         )
-        if any("binary" in h for h in header):
-            raise ValueError("binary PLY unsupported; convert to ascii/npy")
-        rows = [f.readline().split()[:3] for _ in range(n)]
-    return np.asarray(rows, np.float32)
+        if fmt == "ascii":
+            rows = [f.readline().split()[:3] for _ in range(n)]
+            return np.asarray(rows, np.float32)
+        # binary: build a structured dtype from the vertex properties
+        # (properties of other elements — faces etc. — come after the
+        # vertex block, so reading n records is enough for xyz)
+        endian = "<" if "little" in fmt else ">"
+        props = []
+        in_vertex = False
+        for h in header:
+            if h.startswith("element"):
+                in_vertex = h.split()[1] == "vertex"
+            elif in_vertex and h.startswith("property"):
+                parts = h.split()
+                if parts[1] == "list":
+                    raise ValueError("list property inside vertex element")
+                props.append((parts[2], endian + _PLY_DTYPES[parts[1]]))
+        rec = np.dtype(props)
+        data = np.frombuffer(f.read(rec.itemsize * n), dtype=rec, count=n)
+        return np.stack(
+            [data["x"], data["y"], data["z"]], axis=1
+        ).astype(np.float32)
 
 
 def _load_off(path):

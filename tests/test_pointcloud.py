@@ -324,3 +324,22 @@ class TestPccTrainStep:
             )
         )
         assert max(moved) > 0
+
+
+class TestPlyLoader:
+    def test_binary_ply_with_extra_props(self, tmp_path):
+        import struct
+
+        from flashgmm_tpu.datasets.pointcloud import load_point_cloud
+
+        pts = np.random.RandomState(0).rand(50, 3).astype(np.float32)
+        p = tmp_path / "bin.ply"
+        with open(p, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n")
+            f.write(b"element vertex 50\nproperty float x\nproperty float y\n"
+                    b"property float z\nproperty uchar intensity\n")
+            f.write(b"element face 0\n"
+                    b"property list uchar int vertex_indices\nend_header\n")
+            for i in range(50):
+                f.write(struct.pack("<fffB", *pts[i], i % 256))
+        np.testing.assert_allclose(load_point_cloud(p), pts, rtol=1e-6)
