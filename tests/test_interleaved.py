@@ -214,3 +214,56 @@ class TestPallasDecoder:
         with pltpu.force_tpu_interpret_mode():
             out = decode_scan_pallas(states, stream, rows_l, active, jnp.int32(lo))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFastDivmod:
+    def test_matches_restoring_everywhere(self):
+        from flashgmm_tpu.ans.interleaved import (
+            divmod_u32_u16,
+            divmod_u32_u16_fast,
+        )
+
+        rng = np.random.default_rng(7)
+        fs = np.concatenate(
+            [np.array([1, 2, 3, 65534, 65535]),
+             rng.integers(1, 65536, 100000)]
+        ).astype(np.uint32)
+        amax = (fs.astype(np.uint64) << 16) - 1
+        k = rng.integers(0, 1 << 16, fs.shape[0]).astype(np.uint64)
+        cases = [
+            amax.astype(np.uint32),                       # a = f<<16 - 1
+            np.minimum(k * fs, amax).astype(np.uint32),   # exact multiples
+            np.minimum(k * fs + 1, amax).astype(np.uint32),
+            (rng.random(fs.shape[0]) * amax).astype(np.uint64).astype(np.uint32),
+        ]
+        for a in cases:
+            q0, r0 = jax.jit(divmod_u32_u16)(jnp.asarray(a), jnp.asarray(fs))
+            q1, r1 = jax.jit(divmod_u32_u16_fast)(
+                jnp.asarray(a), jnp.asarray(fs)
+            )
+            np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+            np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    def test_fast_flag_roundtrip(self, monkeypatch):
+        """encode_scan dispatched through the fast divmod produces byte-
+        identical streams (and therefore exact round-trips)."""
+        import flashgmm_tpu.ans.interleaved as ilmod
+
+        n, w, lo, nb = 4096, 128, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(
+            np.round(rng.normal(0, 3, n)), lo, lo + nb - 2
+        ).astype(np.int32)
+        start, freq = gmm_guarded_bounds(
+            jnp.asarray(values), scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        args = (il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
+                il.active_mask(n, t, w))
+
+        s0, w0, e0 = il.encode_scan(*args)
+        monkeypatch.setattr(ilmod, "_FAST_DIVMOD", True)
+        s1, w1, e1 = il.encode_scan(*args)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
