@@ -267,3 +267,29 @@ class TestFastDivmod:
         np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
         np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
         np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+    def test_pallas_encoder_fast_divmod_interpret(self, monkeypatch):
+        """Pallas encoder with the fast divmod stays byte-identical to the
+        scan in interpret mode."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        import flashgmm_tpu.ans.pallas_coder as pc
+
+        n, w, lo, nb = 2048, 128, -16, 33
+        scales, means, weights = _gmm_params(n)
+        values = np.clip(
+            np.round(rng.normal(0, 3, n)), lo, lo + nb - 2
+        ).astype(np.int32)
+        start, freq = gmm_guarded_bounds(
+            jnp.asarray(values), scales, means, weights, jnp.int32(lo), nb
+        )
+        t, _ = il.layout(n, w)
+        args = (il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
+                il.active_mask(n, t, w))
+        s_ref, w_ref, e_ref = il.encode_scan(*args)
+        monkeypatch.setattr(pc, "FAST_DIVMOD", True)
+        with pltpu.force_tpu_interpret_mode():
+            s1, w1, e1 = pc.encode_scan_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e1))
