@@ -111,6 +111,14 @@ class Decoder {
       : words_(reinterpret_cast<const uint32_t*>(data)),
         nwords_(nbytes / 4),
         pos_(2) {
+    // a valid stream always carries the 8-byte initial state; guard the
+    // unconditional reads below against truncated/corrupt input (callers
+    // also reject nbytes < 8 up front — this is defense in depth)
+    if (nwords_ < 2) {
+      state_ = kRansL;
+      pos_ = nwords_;
+      return;
+    }
     state_ = static_cast<uint64_t>(words_[0]) |
              (static_cast<uint64_t>(words_[1]) << 32);
   }
@@ -332,6 +340,7 @@ inline void gmm_cdf2(float x1, float x2, const float* means, const float* scales
 // Validation failures return kErrInvalidCdf from the encode entry points.
 
 constexpr int64_t kErrInvalidCdf = INT64_MIN;
+constexpr int64_t kErrShortBuffer = INT64_MIN + 1;
 
 inline bool debug_enabled() {
   static int enabled = -1;
@@ -413,6 +422,7 @@ int64_t fg_decode_with_indexes(const uint8_t* data, int64_t nbytes,
                                const int32_t* cdfs, int64_t cdf_stride,
                                const int32_t* cdfs_sizes, const int32_t* offsets,
                                int32_t* out) {
+  if (nbytes < 8) return kErrShortBuffer;
   Decoder dec(data, nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
@@ -471,6 +481,7 @@ int64_t fg_encode_rows(const int32_t* values, int64_t n, const uint16_t* rows,
 
 int64_t fg_decode_rows(const uint8_t* data, int64_t nbytes, const uint16_t* rows,
                        int64_t n, int64_t row_len, int32_t lo, int32_t* out) {
+  if (nbytes < 8) return kErrShortBuffer;
   Decoder dec(data, nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const uint32_t cum_freq = dec.peek();
@@ -531,6 +542,7 @@ int64_t fg_decode_gmm_host(const uint8_t* data, int64_t nbytes, int64_t n,
                            const float* scales, const float* means,
                            const float* weights, int32_t K, int32_t max_bs_value,
                            int32_t approx_mode, int32_t use_simd, int32_t* out) {
+  if (nbytes < 8) return kErrShortBuffer;
   Decoder dec(data, nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const uint32_t cum_freq = dec.peek();
@@ -584,6 +596,7 @@ struct StreamingDecoder {
 };
 
 void* fg_decoder_new(const uint8_t* data, int64_t nbytes) {
+  if (nbytes < 8) return nullptr;
   auto* sd = new StreamingDecoder();
   sd->data.assign(data, data + nbytes);
   sd->dec = new Decoder(sd->data.data(), nbytes);
@@ -631,6 +644,6 @@ void fg_decoder_free(void* handle) {
 }
 
 // Build info probe so Python can detect a stale shared library.
-int32_t fg_abi_version() { return 7; }
+int32_t fg_abi_version() { return 8; }
 
 }  // extern "C"

@@ -11,7 +11,7 @@ import threading
 
 import numpy as np
 
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc", "rans.cpp"))
@@ -89,15 +89,23 @@ def _declare(lib):
 
 
 _ERR_INVALID_CDF = -(2**63)  # kErrInvalidCdf in csrc/rans.cpp
+_ERR_SHORT_BUFFER = -(2**63) + 1  # kErrShortBuffer
 
 
 def _check_rc(nbytes: int) -> int:
-    """Raise on the debug-mode invalid-CDF error code (FLASHGMM_DEBUG=1)."""
+    """Raise on coder error codes (negative returns)."""
     if nbytes == _ERR_INVALID_CDF:
         raise ValueError(
             "invalid CDF table passed to the host coder (non-monotone row or "
             "bad first/last entry); detected because FLASHGMM_DEBUG=1"
         )
+    if nbytes == _ERR_SHORT_BUFFER:
+        raise ValueError(
+            "encoded stream shorter than the 8-byte rANS initial state "
+            "(truncated or corrupt input)"
+        )
+    if nbytes < 0:
+        raise ValueError(f"host coder error {nbytes}")
     return nbytes
 
 
@@ -148,12 +156,12 @@ def decode_with_indexes(encoded: bytes, indexes, cdfs, cdfs_sizes, offsets):
     offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(indexes.shape[0], dtype=np.int32)
-    lib.fg_decode_with_indexes(
+    _check_rc(lib.fg_decode_with_indexes(
         _ptr(data, ctypes.c_uint8), data.shape[0],
         _ptr(indexes, ctypes.c_int32), indexes.shape[0],
         _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
         _ptr(cdfs_sizes, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
-        _ptr(out, ctypes.c_int32))
+        _ptr(out, ctypes.c_int32)))
     return out
 
 
@@ -181,10 +189,10 @@ def decode_rows(encoded: bytes, rows, lo: int):
     rows = np.ascontiguousarray(rows, dtype=np.uint16)
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(rows.shape[0], dtype=np.int32)
-    lib.fg_decode_rows(
+    _check_rc(lib.fg_decode_rows(
         _ptr(data, ctypes.c_uint8), data.shape[0],
         _ptr(rows, ctypes.c_uint16), rows.shape[0], rows.shape[1], int(lo),
-        _ptr(out, ctypes.c_int32))
+        _ptr(out, ctypes.c_int32)))
     return out
 
 
@@ -291,9 +299,9 @@ def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,
     weights = np.ascontiguousarray(weights, dtype=np.float32)
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(scales.shape[0], dtype=np.int32)
-    lib.fg_decode_gmm_host(
+    _check_rc(lib.fg_decode_gmm_host(
         _ptr(data, ctypes.c_uint8), data.shape[0], scales.shape[0],
         _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
         _ptr(weights, ctypes.c_float), scales.shape[1], int(max_bs_value),
-        int(approx_mode), use_simd, _ptr(out, ctypes.c_int32))
+        int(approx_mode), use_simd, _ptr(out, ctypes.c_int32)))
     return out

@@ -276,3 +276,23 @@ class TestRangeCoderBackend:
             )
         finally:
             flashgmm_tpu.set_entropy_coder("rans")
+
+
+def test_short_buffer_rejected():
+    """Truncated streams (< 8-byte rANS initial state) raise cleanly
+    instead of reading out of bounds (csrc/rans.cpp kErrShortBuffer)."""
+    from flashgmm_tpu.ans import cext
+
+    if not cext.available():
+        pytest.skip("no cext")
+    cdfs = np.zeros((1, 4), np.int32)
+    cdfs[0] = [0, 30000, 65000, 65536]
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        cext.decode_with_indexes(
+            b"abc", np.zeros(4, np.int32), cdfs,
+            np.array([4], np.int32), np.array([0], np.int32),
+        )
+    rows = (np.zeros((3, 5), np.uint16)
+            + np.arange(5, dtype=np.uint16) * 16000)
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        cext.decode_rows(b"ab", rows, -2)
