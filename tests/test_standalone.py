@@ -211,3 +211,34 @@ def test_header_fields(tiny_model):
     assert data[:8] == b"FGSAB001"
     w, h, m, down, flags = struct.unpack_from("<HHHBB", data, 8)
     assert (w, h, m, down, flags) == (70, 50, 48, 16, 1)
+
+
+def test_decoder_rejects_garbage(binaries, tiny_model, card, tmp_path):
+    """fgsc_decode must fail cleanly (nonzero exit, no crash/hang) on
+    corrupt input: bad magic, truncated header, corrupt body length,
+    truncated body."""
+    _, dec = binaries
+    img = _test_image(seed=9)
+    ppm = tmp_path / "in.ppm"
+    _write_ppm(ppm, img)
+    enc, _ = binaries
+    good = tmp_path / "good.fgs"
+    subprocess.run([enc, card, ppm, good], check=True, capture_output=True)
+    blob = bytearray(good.read_bytes())
+
+    cases = {
+        "bad_magic": b"XXXXXXXX" + bytes(blob[8:]),
+        "trunc_header": bytes(blob[:10]),
+        "trunc_body": bytes(blob[: len(blob) // 2]),
+        "huge_len": bytes(blob[:16 + (48 + 7) // 8])
+        + (0xFFFFFFFF).to_bytes(4, "little") + bytes(blob[-32:]),
+        "garbage": bytes(np.random.RandomState(0).bytes(64)),
+    }
+    for name, data in cases.items():
+        bad = tmp_path / f"{name}.fgs"
+        bad.write_bytes(data)
+        r = subprocess.run(
+            [dec, card, bad, tmp_path / "out.ppm"],
+            capture_output=True, timeout=60,
+        )
+        assert r.returncode != 0, name
