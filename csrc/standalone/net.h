@@ -11,6 +11,15 @@
 // cf. reference compressai/sadl_codec/{encoder,decoder}_generic.h which
 // delegate inference to the SADL library; here the interpreter is ~150
 // lines because the exported graphs are straight-line conv stacks.
+//
+// Performance: all three O(C^2)-per-pixel ops (conv taps, deconv taps,
+// the GDN norm) funnel through one register-blocked kernel,
+// dot_accumulate(). The naive formulation streams the output-channel
+// accumulator through L1 once per *input channel* (1 FMA per load+store
+// — store-port bound) and, for the GDN reduction, cannot vectorize at
+// all without float reassociation. Blocking OB accumulators into
+// registers across the whole input-channel loop makes every variant
+// FMA-bound instead (OB=64 → 4 zmm / 8 ymm accumulators).
 #pragma once
 
 #include <cmath>
@@ -19,7 +28,85 @@
 
 namespace fgsc {
 
+// out[j] += sum_i x[i] * w[i*stride + j]  for j in [0, OB), OB compile-time.
+// The accumulator block lives in SIMD registers for the whole i-loop.
+template <int OB, typename TA, typename TX, typename TW>
+inline void dot_block(const TX *x, int n_in, const TW *w, int stride,
+                      TA *out) {
+  TA acc[OB];
+  for (int j = 0; j < OB; ++j) acc[j] = out[j];
+  for (int i = 0; i < n_in; ++i) {
+    const TA v = static_cast<TA>(x[i]);
+    const TW *wr = w + static_cast<size_t>(i) * stride;
+    for (int j = 0; j < OB; ++j) acc[j] += v * static_cast<TA>(wr[j]);
+  }
+  for (int j = 0; j < OB; ++j) out[j] = acc[j];
+}
+
+// out[j] += sum_i x[i] * w[i*stride + j]  for j in [0, n_out).
+// TA=float/TX=float/TW=float for the float engine; TA=int32_t with
+// int16 x/w for the quantized engine (net_q16.h).
+template <typename TA, typename TX, typename TW>
+inline void dot_accumulate(const TX *x, int n_in, const TW *w, int stride,
+                           TA *out, int n_out) {
+  int j = 0;
+  for (; j + 64 <= n_out; j += 64)
+    dot_block<64>(x, n_in, w + j, stride, out + j);
+  if (j + 32 <= n_out) {
+    dot_block<32>(x, n_in, w + j, stride, out + j);
+    j += 32;
+  }
+  if (j + 16 <= n_out) {
+    dot_block<16>(x, n_in, w + j, stride, out + j);
+    j += 16;
+  }
+  for (; j < n_out; ++j) {
+    TA acc = out[j];
+    for (int i = 0; i < n_in; ++i)
+      acc += static_cast<TA>(x[i]) *
+             static_cast<TA>(w[static_cast<size_t>(i) * stride + j]);
+    out[j] = acc;
+  }
+}
+
+// out[o] += dot(x, wt[o*n_in : o*n_in+n_in]) for o in [0, n_out) with
+// CONTIGUOUS per-output weights (wt is the tap transposed to [o, i]).
+// For n_out below a register block (e.g. the final 3-channel synthesis
+// conv), the column-blocked kernel above degrades to a scalar strided
+// reduction; here the reduction is split into 16 independent partials so
+// it vectorizes without float reassociation.
+template <typename TX, typename TW>
+inline void dot_rows_contig(const TX *x, int n_in, const TW *wt, float *out,
+                            int n_out) {
+  for (int o = 0; o < n_out; ++o) {
+    const TW *wr = wt + static_cast<size_t>(o) * n_in;
+    float part[16] = {0.0f};
+    int i = 0;
+    for (; i + 16 <= n_in; i += 16)
+      for (int k = 0; k < 16; ++k)
+        part[k] += static_cast<float>(x[i + k]) * static_cast<float>(wr[i + k]);
+    float acc = out[o];
+    for (; i < n_in; ++i)
+      acc += static_cast<float>(x[i]) * static_cast<float>(wr[i]);
+    for (int k = 0; k < 16; ++k) acc += part[k];
+    out[o] = acc;
+  }
+}
+
+// Transpose one [ic, oc] tap slice to [oc, ic] (tiny; done once per tap).
+inline void transpose_tap(const float *w, int ic, int oc,
+                          std::vector<float> &wt) {
+  wt.resize(static_cast<size_t>(ic) * oc);
+  for (int i = 0; i < ic; ++i)
+    for (int o = 0; o < oc; ++o)
+      wt[static_cast<size_t>(o) * ic + i] = w[static_cast<size_t>(i) * oc + o];
+}
+
 // out[oy,ox,o] = sum_{dy,dx,i} in[oy*s+dy-p, ox*s+dx-p, i] * w[dy,dx,i,o]
+//
+// Loop order oy → (dy,dx) → ox so each tap's [ic,oc] weight slice (e.g.
+// 64 KB at 128×128) is reused across the whole output row from L1/L2;
+// pixel-outer order would re-stream the full multi-MB kernel per pixel.
 inline Tensor conv2d(const Tensor &in, const Layer &L) {
   const int s = L.stride, p = L.padding;
   const int oh = (in.h + 2 * p - L.kh) / s + 1;
@@ -28,22 +115,29 @@ inline Tensor conv2d(const Tensor &in, const Layer &L) {
   out.resize(oh, ow, L.out_ch);
   const int ic = L.in_ch, oc = L.out_ch;
   for (int oy = 0; oy < oh; ++oy) {
-    for (int ox = 0; ox < ow; ++ox) {
-      float *acc = out.row(oy, ox);
-      for (int o = 0; o < oc; ++o) acc[o] = L.bias[o];
-      for (int dy = 0; dy < L.kh; ++dy) {
-        const int iy = oy * s + dy - p;
-        if (iy < 0 || iy >= in.h) continue;
-        for (int dx = 0; dx < L.kw; ++dx) {
-          const int ix = ox * s + dx - p;
-          if (ix < 0 || ix >= in.w) continue;
-          const float *px = in.row(iy, ix);
-          const float *w = &L.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
-          for (int i = 0; i < ic; ++i) {
-            const float v = px[i];
-            const float *wo = w + static_cast<size_t>(i) * oc;
-            for (int o = 0; o < oc; ++o) acc[o] += v * wo[o];  // vectorizes
-          }
+    float *orow = out.row(oy, 0);
+    for (int ox = 0; ox < ow; ++ox)
+      for (int o = 0; o < oc; ++o) orow[static_cast<size_t>(ox) * oc + o] = L.bias[o];
+    for (int dy = 0; dy < L.kh; ++dy) {
+      const int iy = oy * s + dy - p;
+      if (iy < 0 || iy >= in.h) continue;
+      for (int dx = 0; dx < L.kw; ++dx) {
+        const float *w =
+            &L.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
+        // valid ox range for this tap: 0 <= ox*s + dx - p < in.w
+        int ox0 = dx - p < 0 ? (p - dx + s - 1) / s : 0;
+        int ox1 = ow;
+        while (ox1 > ox0 && (ox1 - 1) * s + dx - p >= in.w) --ox1;
+        if (oc < 16) {
+          std::vector<float> wt;
+          transpose_tap(w, ic, oc, wt);
+          for (int ox = ox0; ox < ox1; ++ox)
+            dot_rows_contig(in.row(iy, ox * s + dx - p), ic, wt.data(),
+                            orow + static_cast<size_t>(ox) * oc, oc);
+        } else {
+          for (int ox = ox0; ox < ox1; ++ox)
+            dot_accumulate(in.row(iy, ox * s + dx - p), ic, w, oc,
+                           orow + static_cast<size_t>(ox) * oc, oc);
         }
       }
     }
@@ -68,22 +162,29 @@ inline Tensor conv_transpose2d(const Tensor &in, const Layer &L) {
       float *acc = out.row(oy, ox);
       for (int o = 0; o < oc; ++o) acc[o] = L.bias[o];
     }
+  // Loop order iy → (dy,dx) → ix: one output row per (iy,dy), with the
+  // tap's weight slice reused across the row (same rationale as conv2d).
   for (int iy = 0; iy < in.h; ++iy) {
-    for (int ix = 0; ix < in.w; ++ix) {
-      const float *px = in.row(iy, ix);
-      for (int dy = 0; dy < L.kh; ++dy) {
-        const int oy = iy * s + dy - p;
-        if (oy < 0 || oy >= oh) continue;
-        for (int dx = 0; dx < L.kw; ++dx) {
-          const int ox = ix * s + dx - p;
-          if (ox < 0 || ox >= ow) continue;
-          float *acc = out.row(oy, ox);
-          const float *w = &L.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
-          for (int i = 0; i < ic; ++i) {
-            const float v = px[i];
-            const float *wo = w + static_cast<size_t>(i) * oc;
-            for (int o = 0; o < oc; ++o) acc[o] += v * wo[o];
-          }
+    for (int dy = 0; dy < L.kh; ++dy) {
+      const int oy = iy * s + dy - p;
+      if (oy < 0 || oy >= oh) continue;
+      for (int dx = 0; dx < L.kw; ++dx) {
+        const float *w =
+            &L.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
+        // valid ix range for this tap: 0 <= ix*s + dx - p < ow
+        int ix0 = dx - p < 0 ? (p - dx + s - 1) / s : 0;
+        int ix1 = in.w;
+        while (ix1 > ix0 && (ix1 - 1) * s + dx - p >= ow) --ix1;
+        if (oc < 16) {
+          std::vector<float> wt;
+          transpose_tap(w, ic, oc, wt);
+          for (int ix = ix0; ix < ix1; ++ix)
+            dot_rows_contig(in.row(iy, ix), ic, wt.data(),
+                            out.row(oy, ix * s + dx - p), oc);
+        } else {
+          for (int ix = ix0; ix < ix1; ++ix)
+            dot_accumulate(in.row(iy, ix), ic, w, oc,
+                           out.row(oy, ix * s + dx - p), oc);
         }
       }
     }
@@ -93,19 +194,27 @@ inline Tensor conv_transpose2d(const Tensor &in, const Layer &L) {
 
 // y[o] = x[o] * rsqrt(beta[o] + sum_i gamma[o,i] * x[i]^2)   (GDN)
 // y[o] = x[o] *  sqrt(beta[o] + sum_i gamma[o,i] * x[i]^2)   (inverse GDN)
+// gamma is stored [o, i]; transpose once per call so the per-pixel norm is
+// the same i-outer blocked dot as the convs (the [o,i] orientation is a
+// length-c reduction per o, which strict float semantics keep scalar).
 inline void gdn_inplace(Tensor &t, const Layer &L, bool inverse) {
   const int c = t.c;
+  std::vector<float> gamma_t(static_cast<size_t>(c) * c);
+  for (int o = 0; o < c; ++o)
+    for (int i = 0; i < c; ++i)
+      gamma_t[static_cast<size_t>(i) * c + o] =
+          L.gamma[static_cast<size_t>(o) * c + i];
   std::vector<float> sq(static_cast<size_t>(c));
+  std::vector<float> norm(static_cast<size_t>(c));
   for (int y = 0; y < t.h; ++y) {
     for (int x = 0; x < t.w; ++x) {
       float *px = t.row(y, x);
       for (int i = 0; i < c; ++i) sq[i] = px[i] * px[i];
-      for (int o = 0; o < c; ++o) {
-        const float *g = &L.gamma[static_cast<size_t>(o) * c];
-        float norm = L.beta[o];
-        for (int i = 0; i < c; ++i) norm += g[i] * sq[i];
-        px[o] = inverse ? px[o] * std::sqrt(norm) : px[o] / std::sqrt(norm);
-      }
+      for (int o = 0; o < c; ++o) norm[o] = L.beta[o];
+      dot_accumulate(sq.data(), c, gamma_t.data(), c, norm.data(), c);
+      for (int o = 0; o < c; ++o)
+        px[o] = inverse ? px[o] * std::sqrt(norm[o])
+                        : px[o] / std::sqrt(norm[o]);
     }
   }
 }

@@ -80,28 +80,32 @@ inline Tensor conv2d_q16(const Tensor &in, const Layer &L, const QLayer &q) {
   Tensor out;
   out.resize(oh, ow, L.out_ch);
   const int ic = L.in_ch, oc = L.out_ch;
-  std::vector<int32_t> acc(static_cast<size_t>(oc));
+  // Row-strip accumulator + tap-outer loop order for weight-slice reuse
+  // (see conv2d in net.h).
+  std::vector<int32_t> acc(static_cast<size_t>(ow) * oc);
   for (int oy = 0; oy < oh; ++oy) {
-    for (int ox = 0; ox < ow; ++ox) {
-      std::fill(acc.begin(), acc.end(), 0);
-      for (int dy = 0; dy < L.kh; ++dy) {
-        const int iy = oy * s + dy - p;
-        if (iy < 0 || iy >= in.h) continue;
-        for (int dx = 0; dx < L.kw; ++dx) {
-          const int ix = ox * s + dx - p;
-          if (ix < 0 || ix >= in.w) continue;
-          const int16_t *px = &xq[(static_cast<size_t>(iy) * in.w + ix) * ic];
-          const int16_t *w = &q.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
-          for (int i = 0; i < ic; ++i) {
-            const int32_t v = px[i];
-            const int16_t *wo = w + static_cast<size_t>(i) * oc;
-            for (int o = 0; o < oc; ++o) acc[o] += v * wo[o];  // vpmaddwd-able
-          }
+    std::fill(acc.begin(), acc.end(), 0);
+    for (int dy = 0; dy < L.kh; ++dy) {
+      const int iy = oy * s + dy - p;
+      if (iy < 0 || iy >= in.h) continue;
+      for (int dx = 0; dx < L.kw; ++dx) {
+        const int16_t *w =
+            &q.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
+        int ox0 = dx - p < 0 ? (p - dx + s - 1) / s : 0;
+        int ox1 = ow;
+        while (ox1 > ox0 && (ox1 - 1) * s + dx - p >= in.w) --ox1;
+        for (int ox = ox0; ox < ox1; ++ox) {
+          const int16_t *px =
+              &xq[(static_cast<size_t>(iy) * in.w + ox * s + dx - p) * ic];
+          dot_accumulate(px, ic, w, oc, &acc[static_cast<size_t>(ox) * oc], oc);
         }
       }
-      float *dst = out.row(oy, ox);
-      for (int o = 0; o < oc; ++o) dst[o] = acc[o] * deq + L.bias[o];
     }
+    float *dst = out.row(oy, 0);
+    for (int ox = 0; ox < ow; ++ox)
+      for (int o = 0; o < oc; ++o)
+        dst[static_cast<size_t>(ox) * oc + o] =
+            acc[static_cast<size_t>(ox) * oc + o] * deq + L.bias[o];
   }
   return out;
 }
@@ -116,22 +120,23 @@ inline Tensor conv_transpose2d_q16(const Tensor &in, const Layer &L,
   const int ow = (in.w - 1) * s - 2 * p + L.kw + L.output_padding;
   const int ic = L.in_ch, oc = L.out_ch;
   std::vector<int32_t> acc(static_cast<size_t>(oh) * ow * oc, 0);
+  // Tap-outer loop order for weight-slice reuse (see conv_transpose2d in
+  // net.h).
   for (int iy = 0; iy < in.h; ++iy) {
-    for (int ix = 0; ix < in.w; ++ix) {
-      const int16_t *px = &xq[(static_cast<size_t>(iy) * in.w + ix) * ic];
-      for (int dy = 0; dy < L.kh; ++dy) {
-        const int oy = iy * s + dy - p;
-        if (oy < 0 || oy >= oh) continue;
-        for (int dx = 0; dx < L.kw; ++dx) {
-          const int ox = ix * s + dx - p;
-          if (ox < 0 || ox >= ow) continue;
-          int32_t *a = &acc[(static_cast<size_t>(oy) * ow + ox) * oc];
-          const int16_t *w = &q.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
-          for (int i = 0; i < ic; ++i) {
-            const int32_t v = px[i];
-            const int16_t *wo = w + static_cast<size_t>(i) * oc;
-            for (int o = 0; o < oc; ++o) a[o] += v * wo[o];
-          }
+    for (int dy = 0; dy < L.kh; ++dy) {
+      const int oy = iy * s + dy - p;
+      if (oy < 0 || oy >= oh) continue;
+      for (int dx = 0; dx < L.kw; ++dx) {
+        const int16_t *w =
+            &q.kernel[(static_cast<size_t>(dy) * L.kw + dx) * ic * oc];
+        int ix0 = dx - p < 0 ? (p - dx + s - 1) / s : 0;
+        int ix1 = in.w;
+        while (ix1 > ix0 && (ix1 - 1) * s + dx - p >= ow) --ix1;
+        for (int ix = ix0; ix < ix1; ++ix) {
+          const int16_t *px = &xq[(static_cast<size_t>(iy) * in.w + ix) * ic];
+          int32_t *a =
+              &acc[(static_cast<size_t>(oy) * ow + ix * s + dx - p) * oc];
+          dot_accumulate(px, ic, w, oc, a, oc);
         }
       }
     }
