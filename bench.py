@@ -47,6 +47,20 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # The axon tunnel occasionally drops; a claim attempt can hang for
+    # many minutes before failing UNAVAILABLE. One bounded retry after a
+    # short quiet gap rescues a bench run that lands on a transient wedge.
+    for attempt in range(2):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 1:
+                raise
+            print(f"backend init failed ({e}); retrying in 120 s",
+                  file=sys.stderr)
+            time.sleep(120)
     import jax.numpy as jnp
     from flax import nnx
 
