@@ -42,10 +42,27 @@ p.add_argument("--out", default="weights/ckbd_gmm_n192_k4_synthetic.npz")
 p.add_argument("--pool", type=int, default=40)
 p.add_argument("--resume", default=None,
                help="npz weights to load before training (fresh optimizer)")
-p.add_argument("--arch", default="ckbd", choices=["ckbd", "elic"])
+p.add_argument("--arch", default="ckbd",
+               choices=["ckbd", "elic", "factorized"])
+p.add_argument("--N", type=int, default=128,
+               help="factorized arch only: g_a/g_s width")
+p.add_argument("--M", type=int, default=192,
+               help="factorized arch only: latent channels")
+p.add_argument("--cpu", action="store_true",
+               help="train on the host CPU (don't claim the TPU tunnel); "
+               "for small configs, e.g. the standalone-codec FactorizedPrior")
 args = p.parse_args()
 
-if args.arch == "elic":
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+if args.arch == "factorized":
+    from flashgmm_tpu.models.google import FactorizedPrior
+
+    model = FactorizedPrior(N=args.N, M=args.M, rngs=nnx.Rngs(0))
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = f"weights/factorized_n{args.N}_m{args.M}_synthetic.npz"
+elif args.arch == "elic":
     from flashgmm_tpu.models.elic_gmm import Elic2022GMM
 
     model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
