@@ -51,16 +51,28 @@ def main():
     # The axon tunnel occasionally drops; a claim attempt can hang for
     # many minutes before failing UNAVAILABLE. One bounded retry after a
     # short quiet gap rescues a bench run that lands on a transient wedge.
+    # The retry runs in a SUBPROCESS: after a failed in-process claim, jax
+    # may cache an initialized CPU backend and never re-attempt the TPU.
+    import subprocess
+
     for attempt in range(2):
-        try:
-            jax.devices()
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            capture_output=True, timeout=2400,
+        )
+        if probe.returncode == 0:
             break
-        except RuntimeError as e:
-            if attempt == 1:
-                raise
-            print(f"backend init failed ({e}); retrying in 120 s",
-                  file=sys.stderr)
-            time.sleep(120)
+        if attempt == 1:
+            sys.stderr.write("TPU backend unavailable after retry:\n"
+                             + probe.stderr.decode()[-2000:] + "\n")
+            sys.exit(1)
+        print("backend probe failed; retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+    if jax.devices()[0].platform == "cpu":
+        # never publish a CPU number under the TPU metric
+        sys.stderr.write("refusing to run the TPU bench on CPU\n")
+        sys.exit(1)
     import jax.numpy as jnp
     from flax import nnx
 

@@ -114,6 +114,14 @@ inline Tensor conv2d(const Tensor &in, const Layer &L) {
   Tensor out;
   out.resize(oh, ow, L.out_ch);
   const int ic = L.in_ch, oc = L.out_ch;
+  // small-oc layers: transpose every tap once, outside the row loop
+  std::vector<std::vector<float>> wt_taps;
+  if (oc < 16) {
+    wt_taps.resize(static_cast<size_t>(L.kh) * L.kw);
+    for (int t = 0; t < L.kh * L.kw; ++t)
+      transpose_tap(&L.kernel[static_cast<size_t>(t) * ic * oc], ic, oc,
+                    wt_taps[t]);
+  }
   for (int oy = 0; oy < oh; ++oy) {
     float *orow = out.row(oy, 0);
     for (int ox = 0; ox < ow; ++ox)
@@ -129,10 +137,9 @@ inline Tensor conv2d(const Tensor &in, const Layer &L) {
         int ox1 = ow;
         while (ox1 > ox0 && (ox1 - 1) * s + dx - p >= in.w) --ox1;
         if (oc < 16) {
-          std::vector<float> wt;
-          transpose_tap(w, ic, oc, wt);
+          const float *wt = wt_taps[static_cast<size_t>(dy) * L.kw + dx].data();
           for (int ox = ox0; ox < ox1; ++ox)
-            dot_rows_contig(in.row(iy, ox * s + dx - p), ic, wt.data(),
+            dot_rows_contig(in.row(iy, ox * s + dx - p), ic, wt,
                             orow + static_cast<size_t>(ox) * oc, oc);
         } else {
           for (int ox = ox0; ox < ox1; ++ox)
@@ -157,6 +164,13 @@ inline Tensor conv_transpose2d(const Tensor &in, const Layer &L) {
   Tensor out;
   out.resize(oh, ow, L.out_ch);
   const int ic = L.in_ch, oc = L.out_ch;
+  std::vector<std::vector<float>> wt_taps;
+  if (oc < 16) {
+    wt_taps.resize(static_cast<size_t>(L.kh) * L.kw);
+    for (int t = 0; t < L.kh * L.kw; ++t)
+      transpose_tap(&L.kernel[static_cast<size_t>(t) * ic * oc], ic, oc,
+                    wt_taps[t]);
+  }
   for (int oy = 0; oy < oh; ++oy)
     for (int ox = 0; ox < ow; ++ox) {
       float *acc = out.row(oy, ox);
@@ -176,10 +190,9 @@ inline Tensor conv_transpose2d(const Tensor &in, const Layer &L) {
         int ix1 = in.w;
         while (ix1 > ix0 && (ix1 - 1) * s + dx - p >= ow) --ix1;
         if (oc < 16) {
-          std::vector<float> wt;
-          transpose_tap(w, ic, oc, wt);
+          const float *wt = wt_taps[static_cast<size_t>(dy) * L.kw + dx].data();
           for (int ix = ix0; ix < ix1; ++ix)
-            dot_rows_contig(in.row(iy, ix), ic, wt.data(),
+            dot_rows_contig(in.row(iy, ix), ic, wt,
                             out.row(oy, ix * s + dx - p), oc);
         } else {
           for (int ix = ix0; ix < ix1; ++ix)

@@ -93,7 +93,10 @@ _ERR_SHORT_BUFFER = -(2**63) + 1  # kErrShortBuffer
 
 
 def _check_rc(nbytes: int) -> int:
-    """Raise on coder error codes (negative returns)."""
+    """Raise on coder error sentinels. Other negative returns pass through:
+    the encoder entry points return ``-needed_capacity`` when the output
+    buffer was too small (csrc/rans.cpp SymbolBuffer::flush) and the encode
+    wrappers retry with that exact capacity."""
     if nbytes == _ERR_INVALID_CDF:
         raise ValueError(
             "invalid CDF table passed to the host coder (non-monotone row or "
@@ -104,6 +107,12 @@ def _check_rc(nbytes: int) -> int:
             "encoded stream shorter than the 8-byte rANS initial state "
             "(truncated or corrupt input)"
         )
+    return nbytes
+
+
+def _check_decode_rc(nbytes: int) -> int:
+    """Decoders have no capacity-retry protocol: any negative is an error."""
+    nbytes = _check_rc(nbytes)
     if nbytes < 0:
         raise ValueError(f"host coder error {nbytes}")
     return nbytes
@@ -156,7 +165,7 @@ def decode_with_indexes(encoded: bytes, indexes, cdfs, cdfs_sizes, offsets):
     offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(indexes.shape[0], dtype=np.int32)
-    _check_rc(lib.fg_decode_with_indexes(
+    _check_decode_rc(lib.fg_decode_with_indexes(
         _ptr(data, ctypes.c_uint8), data.shape[0],
         _ptr(indexes, ctypes.c_int32), indexes.shape[0],
         _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
@@ -189,7 +198,7 @@ def decode_rows(encoded: bytes, rows, lo: int):
     rows = np.ascontiguousarray(rows, dtype=np.uint16)
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(rows.shape[0], dtype=np.int32)
-    _check_rc(lib.fg_decode_rows(
+    _check_decode_rc(lib.fg_decode_rows(
         _ptr(data, ctypes.c_uint8), data.shape[0],
         _ptr(rows, ctypes.c_uint16), rows.shape[0], rows.shape[1], int(lo),
         _ptr(out, ctypes.c_int32)))
@@ -264,6 +273,11 @@ class StreamingDecoder:
         self._handle = self._lib.fg_decoder_new(
             _ptr(self._data, ctypes.c_uint8), self._data.shape[0]
         )
+        if not self._handle:  # nullptr: stream shorter than the rANS state
+            raise ValueError(
+                "encoded stream shorter than the 8-byte rANS initial state "
+                "(truncated or corrupt input)"
+            )
         self._cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
         self._sizes = np.ascontiguousarray(cdfs_sizes, dtype=np.int32).ravel()
         self._offsets = np.ascontiguousarray(offsets, dtype=np.int32).ravel()
@@ -299,7 +313,7 @@ def decode_gmm_host(encoded: bytes, scales, means, weights, max_bs_value: int,
     weights = np.ascontiguousarray(weights, dtype=np.float32)
     data = np.frombuffer(encoded, dtype=np.uint8)
     out = np.empty(scales.shape[0], dtype=np.int32)
-    _check_rc(lib.fg_decode_gmm_host(
+    _check_decode_rc(lib.fg_decode_gmm_host(
         _ptr(data, ctypes.c_uint8), data.shape[0], scales.shape[0],
         _ptr(scales, ctypes.c_float), _ptr(means, ctypes.c_float),
         _ptr(weights, ctypes.c_float), scales.shape[1], int(max_bs_value),

@@ -35,19 +35,15 @@ W=512 Pallas 0.39 ms vs scan 2.36 ms (6x, bit-exact, T=384/196k syms,
 decode at W <= 512 on TPU, XLA scan otherwise.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flashgmm_tpu.ans.interleaved import divmod_rans
+
 STEPS_PER_BLOCK = 8
 BLK = 128
-
-# shared with interleaved.divmod_rans: the fast two-level float divmod is
-# opt-in until tools/test_codec_exact_tpu.py has blessed it on the chip
-FAST_DIVMOD = os.environ.get("FLASHGMM_FAST_DIVMOD", "0") == "1"
 
 
 # ablation switches for on-TPU profiling (tools/profile_pallas_variants.py):
@@ -214,33 +210,10 @@ def _encode_kernel(starts_ref, freqs_ref, active_ref, states_ref,
         word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
         x1 = jnp.where(emit, x >> 16, x)
 
-        if FAST_DIVMOD:
-            # two-level float estimate + exact integer correction
-            # (interleaved.divmod_u32_u16_fast; same hardening rationale —
-            # exact even under a ~2^-8-relative-error Mosaic reciprocal)
-            ff = freq.astype(jnp.float32)
-            q = (x1.astype(jnp.float32) / ff).astype(jnp.uint32)
-            r0 = (x1 - q * freq).astype(jnp.int32)
-            q1 = jnp.floor(r0.astype(jnp.float32) / ff).astype(jnp.int32)
-            q = (q.astype(jnp.int32) + q1).astype(jnp.uint32)
-            r = x1 - q * freq
-            big = jnp.uint32(1) << 31
-            for _ in range(2):
-                over = r >= big
-                under = (~over) & (r >= freq)
-                q = q + under.astype(jnp.uint32) - over.astype(jnp.uint32)
-                r = jnp.where(over, r + freq, jnp.where(under, r - freq, r))
-        else:
-            # exact u32 // u16 restoring division (interleaved.
-            # divmod_u32_u16): immune to float lowering by construction
-            r = x1 >> 16
-            q = jnp.zeros_like(x1)
-            one = jnp.uint32(1)
-            for i in range(15, -1, -1):
-                r = (r << 1) | ((x1 >> i) & one)
-                ge = r >= freq
-                r = jnp.where(ge, r - freq, r)
-                q = jnp.where(ge, q | (one << i), q)
+        # exact u32 // u16 (pure jnp, shared with the scan encoder so the
+        # two backends can never drift): restoring division by default,
+        # the float-estimate fast path under FLASHGMM_FAST_DIVMOD=1
+        q, r = divmod_rans(x1, freq)
 
         x2 = (q << 16) + r + start
         x_scratch[:] = jnp.where(act, x2, x)

@@ -50,6 +50,14 @@ def _load_ascii_ply(path):
         fmt = next(
             (h.split()[1] for h in header if h.startswith("format")), "ascii"
         )
+        elements = [h.split()[1] for h in header if h.startswith("element")]
+        if not elements or elements[0] != "vertex":
+            # data blocks are stored in element-declaration order; reading
+            # from the top is only valid when vertex comes first
+            raise ValueError(
+                f"unsupported PLY layout: element order {elements} "
+                "(vertex must be the first element)"
+            )
         n = next(
             int(h.split()[-1]) for h in header if h.startswith("element vertex")
         )
@@ -70,6 +78,11 @@ def _load_ascii_ply(path):
                 if parts[1] == "list":
                     raise ValueError("list property inside vertex element")
                 props.append((parts[2], endian + _PLY_DTYPES[parts[1]]))
+        names = [p[0] for p in props]
+        if not {"x", "y", "z"}.issubset(names):
+            raise ValueError(
+                f"PLY vertex element lacks x/y/z properties (got {names})"
+            )
         rec = np.dtype(props)
         data = np.frombuffer(f.read(rec.itemsize * n), dtype=rec, count=n)
         return np.stack(

@@ -273,6 +273,7 @@ class TestFastDivmod:
         scan in interpret mode."""
         from jax.experimental.pallas import tpu as pltpu
 
+        import flashgmm_tpu.ans.interleaved as ilmod
         import flashgmm_tpu.ans.pallas_coder as pc
 
         n, w, lo, nb = 2048, 128, -16, 33
@@ -287,7 +288,9 @@ class TestFastDivmod:
         args = (il.to_lanes(start, w), il.to_lanes(jnp.maximum(freq, 1), w),
                 il.active_mask(n, t, w))
         s_ref, w_ref, e_ref = il.encode_scan(*args)
-        monkeypatch.setattr(pc, "FAST_DIVMOD", True)
+        # the Pallas kernel now calls interleaved.divmod_rans directly, so
+        # the same flag flips both backends (they cannot drift)
+        monkeypatch.setattr(ilmod, "_FAST_DIVMOD", True)
         with pltpu.force_tpu_interpret_mode():
             s1, w1, e1 = pc.encode_scan_pallas(*args)
         np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s1))

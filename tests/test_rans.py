@@ -296,3 +296,10 @@ def test_short_buffer_rejected():
             + np.arange(5, dtype=np.uint16) * 16000)
     with pytest.raises(ValueError, match="truncated or corrupt"):
         cext.decode_rows(b"ab", rows, -2)
+    # the streaming (AR) decoder's constructor must reject it too —
+    # fg_decoder_new returns nullptr, which previously went unchecked and
+    # segfaulted on first decode()
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        cext.StreamingDecoder(
+            b"abc", cdfs, np.array([4], np.int32), np.array([0], np.int32)
+        )
