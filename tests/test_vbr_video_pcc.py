@@ -81,6 +81,34 @@ class TestVbr:
         expected = jnp.round((x8 - medians) / 0.5) * 0.5 + medians
         np.testing.assert_allclose(np.asarray(x_hat), np.asarray(expected), atol=1e-5)
 
+    def test_gaussian_conditional_vbr_quantize_variable(self):
+        """qs-step quantize/dequantize consistency (the reference's VBR
+        y-path uses gain scaling with a plain GaussianConditional; this
+        class extends it with an explicit step — extra API surface)."""
+        from flashgmm_tpu.entropy_models import GaussianConditionalVbr
+
+        gc = GaussianConditionalVbr(None)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.normal(0, 3, (2, 8, 8, 4)).astype(np.float32))
+        means = jnp.asarray(rng.normal(0, 1, x.shape).astype(np.float32))
+        for qs in (0.5, 1.0, 2.0):
+            sym = gc.quantize_variable(x, "symbols", means, qs=qs)
+            deq = gc.dequantize_variable(sym, means, qs=qs)
+            expected = jnp.round((x - means) / qs) * qs + means
+            np.testing.assert_allclose(
+                np.asarray(deq), np.asarray(expected), atol=1e-5
+            )
+            # "dequantize" mode = symbols+dequantize fused
+            np.testing.assert_allclose(
+                np.asarray(gc.quantize_variable(x, "dequantize", means, qs=qs)),
+                np.asarray(expected), atol=1e-5,
+            )
+        # qs=None falls back to the plain unit-step path
+        np.testing.assert_allclose(
+            np.asarray(gc.quantize_variable(x, "dequantize", means)),
+            np.asarray(jnp.round(x - means) + means), atol=1e-5,
+        )
+
 
 class TestVideo:
     @pytest.fixture(scope="class")
