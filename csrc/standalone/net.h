@@ -43,6 +43,35 @@ inline void dot_block(const TX *x, int n_in, const TW *w, int stride,
   for (int j = 0; j < OB; ++j) out[j] = acc[j];
 }
 
+// Two output pixels sharing one weight stream. The single-pixel kernel
+// does one weight load per FMA (load-port bound); amortizing each loaded
+// weight vector over two input pixels roughly doubles arithmetic per
+// load. Accumulation order per output element is unchanged (bit-exact
+// vs two dot_block calls).
+template <int OB, typename TA, typename TX, typename TW>
+inline void dot_block2(const TX *xa, const TX *xb, int n_in, const TW *w,
+                       int stride, TA *oa, TA *ob) {
+  TA acca[OB], accb[OB];
+  for (int j = 0; j < OB; ++j) {
+    acca[j] = oa[j];
+    accb[j] = ob[j];
+  }
+  for (int i = 0; i < n_in; ++i) {
+    const TA va = static_cast<TA>(xa[i]);
+    const TA vb = static_cast<TA>(xb[i]);
+    const TW *wr = w + static_cast<size_t>(i) * stride;
+    for (int j = 0; j < OB; ++j) {
+      const TA wv = static_cast<TA>(wr[j]);
+      acca[j] += va * wv;
+      accb[j] += vb * wv;
+    }
+  }
+  for (int j = 0; j < OB; ++j) {
+    oa[j] = acca[j];
+    ob[j] = accb[j];
+  }
+}
+
 // out[j] += sum_i x[i] * w[i*stride + j]  for j in [0, n_out).
 // TA=float/TX=float/TW=float for the float engine; TA=int32_t with
 // int16 x/w for the quantized engine (net_q16.h).
@@ -67,6 +96,62 @@ inline void dot_accumulate(const TX *x, int n_in, const TW *w, int stride,
              static_cast<TA>(w[static_cast<size_t>(i) * stride + j]);
     out[j] = acc;
   }
+}
+
+// Pixel-pair variant of dot_accumulate (same blocking, shared weights).
+template <typename TA, typename TX, typename TW>
+inline void dot_accumulate2(const TX *xa, const TX *xb, int n_in,
+                            const TW *w, int stride, TA *oa, TA *ob,
+                            int n_out) {
+  int j = 0;
+  for (; j + 32 <= n_out; j += 32)
+    dot_block2<32>(xa, xb, n_in, w + j, stride, oa + j, ob + j);
+  if (j + 16 <= n_out) {
+    dot_block2<16>(xa, xb, n_in, w + j, stride, oa + j, ob + j);
+    j += 16;
+  }
+  if (j < n_out) {
+    dot_accumulate(xa, n_in, w + j, stride, oa + j, n_out - j);
+    dot_accumulate(xb, n_in, w + j, stride, ob + j, n_out - j);
+  }
+}
+
+// Four output pixels sharing one weight stream (FMA:weight-load 4:1).
+template <int OB, typename TA, typename TX, typename TW>
+inline void dot_block4(const TX *const x[4], int n_in, const TW *w,
+                       int stride, TA *const out[4]) {
+  TA acc[4][OB];
+  for (int p = 0; p < 4; ++p)
+    for (int j = 0; j < OB; ++j) acc[p][j] = out[p][j];
+  for (int i = 0; i < n_in; ++i) {
+    const TA v0 = static_cast<TA>(x[0][i]);
+    const TA v1 = static_cast<TA>(x[1][i]);
+    const TA v2 = static_cast<TA>(x[2][i]);
+    const TA v3 = static_cast<TA>(x[3][i]);
+    const TW *wr = w + static_cast<size_t>(i) * stride;
+    for (int j = 0; j < OB; ++j) {
+      const TA wv = static_cast<TA>(wr[j]);
+      acc[0][j] += v0 * wv;
+      acc[1][j] += v1 * wv;
+      acc[2][j] += v2 * wv;
+      acc[3][j] += v3 * wv;
+    }
+  }
+  for (int p = 0; p < 4; ++p)
+    for (int j = 0; j < OB; ++j) out[p][j] = acc[p][j];
+}
+
+template <typename TA, typename TX, typename TW>
+inline void dot_accumulate4(const TX *const x[4], int n_in, const TW *w,
+                            int stride, TA *const out[4], int n_out) {
+  int j = 0;
+  for (; j + 16 <= n_out; j += 16) {
+    TA *o[4] = {out[0] + j, out[1] + j, out[2] + j, out[3] + j};
+    dot_block4<16>(x, n_in, w + j, stride, o);
+  }
+  if (j < n_out)
+    for (int p = 0; p < 4; ++p)
+      dot_accumulate(x[p], n_in, w + j, stride, out[p] + j, n_out - j);
 }
 
 // out[o] += dot(x, wt[o*n_in : o*n_in+n_in]) for o in [0, n_out) with
@@ -142,7 +227,22 @@ inline Tensor conv2d(const Tensor &in, const Layer &L) {
             dot_rows_contig(in.row(iy, ox * s + dx - p), ic, wt,
                             orow + static_cast<size_t>(ox) * oc, oc);
         } else {
-          for (int ox = ox0; ox < ox1; ++ox)
+          int ox = ox0;
+          for (; ox + 3 < ox1; ox += 4) {
+            const float *x4[4];
+            float *o4[4];
+            for (int p4 = 0; p4 < 4; ++p4) {
+              x4[p4] = in.row(iy, (ox + p4) * s + dx - p);
+              o4[p4] = orow + static_cast<size_t>(ox + p4) * oc;
+            }
+            dot_accumulate4(x4, ic, w, oc, o4, oc);
+          }
+          for (; ox + 1 < ox1; ox += 2)
+            dot_accumulate2(in.row(iy, ox * s + dx - p),
+                            in.row(iy, (ox + 1) * s + dx - p), ic, w, oc,
+                            orow + static_cast<size_t>(ox) * oc,
+                            orow + static_cast<size_t>(ox + 1) * oc, oc);
+          if (ox < ox1)
             dot_accumulate(in.row(iy, ox * s + dx - p), ic, w, oc,
                            orow + static_cast<size_t>(ox) * oc, oc);
         }
@@ -195,7 +295,21 @@ inline Tensor conv_transpose2d(const Tensor &in, const Layer &L) {
             dot_rows_contig(in.row(iy, ix), ic, wt,
                             out.row(oy, ix * s + dx - p), oc);
         } else {
-          for (int ix = ix0; ix < ix1; ++ix)
+          int ix = ix0;
+          for (; ix + 3 < ix1; ix += 4) {
+            const float *x4[4];
+            float *o4[4];
+            for (int p4 = 0; p4 < 4; ++p4) {
+              x4[p4] = in.row(iy, ix + p4);
+              o4[p4] = out.row(oy, (ix + p4) * s + dx - p);
+            }
+            dot_accumulate4(x4, ic, w, oc, o4, oc);
+          }
+          for (; ix + 1 < ix1; ix += 2)
+            dot_accumulate2(in.row(iy, ix), in.row(iy, ix + 1), ic, w, oc,
+                            out.row(oy, ix * s + dx - p),
+                            out.row(oy, (ix + 1) * s + dx - p), oc);
+          if (ix < ix1)
             dot_accumulate(in.row(iy, ix), ic, w, oc,
                            out.row(oy, ix * s + dx - p), oc);
         }
