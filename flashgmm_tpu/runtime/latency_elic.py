@@ -52,18 +52,33 @@ class FastLatencyElicCodec(FastElicGmmCodec):
     # -- fused programs -------------------------------------------------------
 
     def _encode_full_impl(self, state, x, cap_divisor):
-        """ONE program: transforms, z pass, all 5x2 group passes."""
+        """ONE program: transforms, z pass, all 5x2 group passes.
+
+        Every float stage interface (side_all, params_k, rows) is fenced
+        with optimization_barrier so each stage is an isolated subgraph
+        with pinned inputs: the decode program fences the same interfaces,
+        and identical isolated subgraphs compile to identical float math.
+        Without the fences XLA rematerializes these tensors per-consumer
+        with program-specific fusion choices, and a one-ulp difference in
+        a quantized CDF row silently desyncs the rANS streams (the same
+        hazard class as fast_codec._analyze_impl's anti-remat barriers)."""
         ps_z, z_bin, syms = self._analyze_impl(state, x, cap_divisor)
-        side_all = self._side_impl(state, z_bin)
+        side_all = jax.lax.optimization_barrier(self._side_impl(state, z_bin))
         streams = [ps_z]
         for k in range(len(self.groups)):
-            params_k = self._ctxparams_impl(state, side_all, syms[: 2 * k], k)
+            params_k = jax.lax.optimization_barrier(
+                self._ctxparams_impl(state, side_all, syms[: 2 * k], k)
+            )
             sym0, sym1 = syms[2 * k], syms[2 * k + 1]
-            rows0 = self._rows_impl(state, params_k, sym0, k, 0)
+            rows0 = jax.lax.optimization_barrier(
+                self._rows_impl(state, params_k, sym0, k, 0)
+            )
             streams.append(
                 self._encpass_impl(rows0, sym0.reshape(-1), cap_divisor)
             )
-            rows1 = self._rows_impl(state, params_k, sym0, k, 1)
+            rows1 = jax.lax.optimization_barrier(
+                self._rows_impl(state, params_k, sym0, k, 1)
+            )
             streams.append(
                 self._encpass_impl(rows1, sym1.reshape(-1), cap_divisor)
             )
@@ -75,26 +90,33 @@ class FastLatencyElicCodec(FastElicGmmCodec):
         return tuple(streams), y_hat
 
     def _decode_full_impl(self, state, streams, y_shape):
-        """ONE program: streams -> (x_hat, y_hat)."""
+        """ONE program: streams -> (x_hat, y_hat).
+
+        Float stage interfaces fenced identically to _encode_full_impl —
+        see its docstring for why (cross-program CDF bit-equality)."""
         b, h, w, c = y_shape
         z_bin = self._zdec_impl(
             state, streams[0], (b, h // 4, w // 4, self._n_z_channels)
         )
-        side_all = self._side_impl(state, z_bin)
+        side_all = jax.lax.optimization_barrier(self._side_impl(state, z_bin))
         m, cg, _ = self._modules(state)
         syms = []
         si = 1
         for k in range(len(self.groups)):
             gk = self.groups[k]
-            params_k = self._ctxparams_impl(state, side_all, tuple(syms), k)
-            rows0 = self._rows_impl(
-                state, params_k, jnp.zeros((b, h, w // 2, gk), jnp.int32), k, 0
+            params_k = jax.lax.optimization_barrier(
+                self._ctxparams_impl(state, side_all, tuple(syms), k)
             )
+            rows0 = jax.lax.optimization_barrier(self._rows_impl(
+                state, params_k, jnp.zeros((b, h, w // 2, gk), jnp.int32), k, 0
+            ))
             sym0 = self._decpass_impl(rows0, streams[si]).reshape(
                 b, h, w // 2, gk
             )
             si += 1
-            rows1 = self._rows_impl(state, params_k, sym0, k, 1)
+            rows1 = jax.lax.optimization_barrier(
+                self._rows_impl(state, params_k, sym0, k, 1)
+            )
             sym1 = self._decpass_impl(rows1, streams[si]).reshape(
                 b, h, w // 2, gk
             )
