@@ -56,11 +56,19 @@ class FastLatencyGmmCodec:
                  cap_divisor: int = 4, bf16_transforms: bool = True,
                  fallback=None, pallas_decode: bool | None = None):
         self.lanes = int(lanes)
-        from flashgmm_tpu.runtime.fast_codec import _pallas_decode_default
-
+        # Decode backend: ALWAYS the XLA scan by default. The Pallas Mosaic
+        # kernel is bit-exact inside FastCheckerboardGmmCodec's decode
+        # programs (tools/test_codec_exact_tpu.py, lanes=512) but DESYNCS
+        # inside THIS codec's single fused decode program: measured
+        # 2026-08-19 on the v5e (tools/debug_latency_cert512.py), 43k/147k
+        # pass-0 symbols wrong with identical streams+rows while the scan
+        # decodes all passes exactly — a cross-program-context divergence
+        # of the kind certification exists to catch (it did: encode fell
+        # back safely). It is also slower end-to-end here (dec 13.5 ms at
+        # lanes=512/pallas vs 12.3 at 1024/scan), so there is nothing to
+        # chase. Opt in explicitly via pallas_decode=True to reproduce.
         self.pallas_decode = (
-            _pallas_decode_default(self.lanes)
-            if pallas_decode is None else bool(pallas_decode)
+            False if pallas_decode is None else bool(pallas_decode)
         )
         import os
 
