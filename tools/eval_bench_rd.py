@@ -34,7 +34,15 @@ p.add_argument("--force", action="store_true",
                help="write results even if they fail the regression floors")
 p.add_argument("--hw", type=int, nargs=2, default=(768, 512),
                help="eval image size (smoke-testing override)")
+p.add_argument("--weights", default=None,
+               help="npz weights override (e.g. the second-lambda q2 point); "
+               "default: the arch's bench weights. With --weights the "
+               "regression floors are skipped (a lower-rate point sits at "
+               "lower PSNR by design) — pass --out to avoid overwriting "
+               "the flagship entry")
 args = p.parse_args()
+if args.weights is not None:
+    args.force = True
 
 
 from flashgmm_tpu.zoo import load_npz_weights
@@ -50,7 +58,7 @@ if args.arch == "ckbd":
     from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
-    assert _load_npz(model, os.path.join(
+    assert _load_npz(model, args.weights or os.path.join(
         ROOT, "weights/ckbd_gmm_n192_k4_synthetic.npz")), "bench weights missing"
     model.update(update_quantiles=True)
     codec = FastCheckerboardGmmCodec(model, lanes=args.lanes, cap_divisor=4)
@@ -71,7 +79,7 @@ else:
     from flashgmm_tpu.runtime.fast_codec import StreamOverflow
 
     model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
-    assert _load_npz(model, os.path.join(
+    assert _load_npz(model, args.weights or os.path.join(
         ROOT, "weights/elic_gmm_n192_m320_k4_synthetic.npz")), "elic weights missing"
     model.update(update_quantiles=True)
     codec = FastElicGmmCodec(model, lanes=args.lanes)
