@@ -94,25 +94,27 @@ def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4,
     return PassStream(states, stream[:cap], n_words)
 
 
-def _pallas_decode_default(w: int, batched: bool = False) -> bool:
-    """Decoder-backend default: the Pallas Mosaic kernel on real TPU for
-    SINGLE-IMAGE codecs at small lane counts, the XLA scan otherwise.
-    Override with FLASHGMM_PALLAS_DECODE=0/1."""
+def _pallas_decode_default(w: int) -> bool:
+    """Decoder-backend default: the Pallas Mosaic kernel on real TPU when
+    the lane count allows it (w % 128 == 0), the XLA scan otherwise.
+    Override with FLASHGMM_PALLAS_DECODE=0/1.
+
+    Measured on the v5e (tools/profile_pallas_variants.py): the Pallas
+    kernel wins at W <= 512 (0.39 vs 2.36 ms at W=512, T=384) where the
+    [W, W] triangular rank rides the MXU; at W >= 1024 the XLA scan's
+    fewer-steps advantage wins (0.60 vs 2.47 ms at W=1024). CAVEAT for
+    batched use: the advantage lives at single-image T = n/W; with a
+    ~batch x larger n the scan wins at EVERY lane count
+    (tools/sweep_batch_lanes.py, batch-24: dec 13.5 scan vs 22.9 pallas
+    ms/img at W=512; 11.9 vs 14.1 at 1024) — but batch throughput also
+    wants big lanes in the first place (bench.py uses 4096, where the
+    auto-default already picks the scan), so small-W batched coding is a
+    config nobody should run; pass pallas_decode=False if you must."""
     import os
 
     v = os.environ.get("FLASHGMM_PALLAS_DECODE", "auto")
     if v in ("0", "1"):
         return v == "1"
-    # measured on the v5e (tools/profile_pallas_variants.py): the Pallas
-    # kernel wins at W <= 512 (0.39 vs 2.36 ms at W=512, T=384) where the
-    # [W, W] triangular rank rides the MXU; at W >= 1024 the XLA scan's
-    # fewer-steps advantage wins (0.60 vs 2.47 ms at W=1024). For BATCHED
-    # codecs the symbol count n (hence T = n/W) is ~batch x larger and the
-    # scan wins at every lane count (tools/sweep_batch_lanes.py, batch-24:
-    # dec 13.5 scan vs 22.9 pallas ms/img at W=512; 11.9 vs 14.1 at 1024),
-    # so batched codecs default to the scan unconditionally.
-    if batched:
-        return False
     return w % 128 == 0 and w <= 512 and jax.default_backend() == "tpu"
 
 
@@ -158,7 +160,7 @@ class FastCheckerboardGmmCodec:
         self.lanes = int(lanes)
         # decode-backend choice is static per codec (baked into the jits)
         self.pallas_decode = (
-            _pallas_decode_default(self.lanes, batched=True)
+            _pallas_decode_default(self.lanes)
             if pallas_decode is None else bool(pallas_decode)
         )
         # encoder backend: XLA scan unless explicitly flipped (the Pallas
