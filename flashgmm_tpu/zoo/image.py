@@ -64,6 +64,31 @@ cfgs = {
 
 model_architectures = dict(MODELS)
 
+# Weights trained in-repo (this environment has no egress, so instead of
+# the reference's S3 URL table — zoo/image.py:54-260 — the zoo ships local
+# checkpoints under weights/). Keyed (architecture, quality); quality slots
+# follow the reference's rate ordering (higher quality = higher rate).
+_REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[2]
+local_weights = {
+    # flagship ckbd-GMM, N=192 K=4 (quality 4-6 are the N=192 slots)
+    ("cheng2020-anchor-checkerboard-gmm", 4):
+        "weights/ckbd_gmm_n192_k4_q2.npz",          # lambda=0.0025
+    ("cheng2020-anchor-checkerboard-gmm", 5):
+        "weights/ckbd_gmm_n192_k4_synthetic.npz",   # lambda=0.0067
+    ("elic2022-official", 5):
+        "weights/elic_gmm_n192_m320_k4_synthetic.npz",
+    ("bmshj2018-factorized", 4):
+        "weights/factorized_n128_m192_synthetic.npz",
+}
+
+
+def _local_weights_path(architecture: str, quality: int):
+    rel = local_weights.get((architecture, quality))
+    if rel is None:
+        return None
+    p = _REPO_ROOT / rel
+    return str(p) if p.exists() else None
+
 
 def create_model(architecture: str, quality: int = 1, metric: str = "mse",
                  weights_path: str = None, K: int = 4, *, rngs=None, **kwargs):
@@ -99,6 +124,10 @@ def create_model(architecture: str, quality: int = 1, metric: str = "mse",
             from flashgmm_tpu.utils.checkpoint import load_checkpoint
 
             load_checkpoint(weights_path, model)
+        elif weights_path.endswith(".npz"):
+            from .npz import load_npz_weights
+
+            load_npz_weights(model, weights_path)
         else:
             from .torch_convert import load_checkpoint_file
 
@@ -108,12 +137,20 @@ def create_model(architecture: str, quality: int = 1, metric: str = "mse",
 
 def image_models(architecture, quality=1, metric="mse", pretrained=False,
                  weights_path=None, **kwargs):
-    """CompressAI-style zoo entry point (zoo/__init__.py:43-70)."""
+    """CompressAI-style zoo entry point (zoo/__init__.py:43-70).
+
+    ``pretrained=True`` resolves weights from the in-repo ``local_weights``
+    table (the no-egress stand-in for the reference's S3 URLs); pass
+    ``weights_path=`` to load any other local checkpoint.
+    """
     if pretrained and weights_path is None:
-        raise RuntimeError(
-            "No network egress in this environment: pass weights_path= with "
-            "a local checkpoint instead of pretrained=True"
-        )
+        weights_path = _local_weights_path(architecture, quality)
+        if weights_path is None:
+            raise RuntimeError(
+                f"No shipped weights for ({architecture}, quality={quality}) "
+                f"— available: {sorted(k for k in local_weights)}; or pass "
+                "weights_path= with a local checkpoint"
+            )
     return create_model(architecture, quality, metric, weights_path, **kwargs)
 
 

@@ -67,6 +67,22 @@ class TestRegistryAndZoo:
         with pytest.raises(ValueError):
             create_model("bmshj2018-factorized", quality=99)
 
+    def test_zoo_pretrained_local_weights(self):
+        from flashgmm_tpu.zoo.image import image_models, local_weights
+
+        # the smallest shipped checkpoint: factorized prior
+        net = image_models("bmshj2018-factorized", quality=4, pretrained=True)
+        assert net.N == 128 and net.M == 192
+        # a (arch, quality) slot with no shipped weights raises with the
+        # available table in the message
+        with pytest.raises(RuntimeError, match="No shipped weights"):
+            image_models("bmshj2018-factorized", quality=1, pretrained=True)
+        # every table entry points at a file that exists in the repo
+        from flashgmm_tpu.zoo.image import _local_weights_path
+
+        for (arch, q) in local_weights:
+            assert _local_weights_path(arch, q) is not None, (arch, q)
+
     def test_entropy_coder_registry(self):
         import flashgmm_tpu
 
