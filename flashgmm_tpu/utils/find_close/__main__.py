@@ -7,6 +7,9 @@ Equivalent of ``python -m compressai.utils.find_close``
 import argparse
 import sys
 
+# Metrics whose value DECREASES as codec quality increases (none today).
+_DECREASING_METRICS = frozenset()
+
 
 def setup_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
@@ -34,7 +37,10 @@ def main(argv=None):
         val = rv[args.metric]
         if best is None or abs(val - args.target) < abs(best[1] - args.target):
             best = (mid, val, rv)
-        increasing = args.metric != "bpp" or True  # all increase with quality
+        # Direction of the quality-metric curve.  Every currently supported
+        # metric (bpp, psnr-rgb, ms-ssim-rgb) increases with codec quality;
+        # list any future decreasing metric here so the bisection flips.
+        increasing = args.metric not in _DECREASING_METRICS
         if (val < args.target) == increasing:
             lo = mid
         else:

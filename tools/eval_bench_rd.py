@@ -35,11 +35,17 @@ p.add_argument("--force", action="store_true",
 p.add_argument("--hw", type=int, nargs=2, default=(768, 512),
                help="eval image size (smoke-testing override)")
 p.add_argument("--weights", default=None,
-               help="npz weights override (e.g. the second-lambda q2 point); "
+               help="npz weights override (e.g. a second-lambda point); "
                "default: the arch's bench weights. With --weights the "
                "regression floors are skipped (a lower-rate point sits at "
-               "lower PSNR by design) — pass --out to avoid overwriting "
-               "the flagship entry")
+               "lower PSNR by design); the measured point is MERGED into "
+               "the arch's RD-curve file keyed by --lmbda")
+p.add_argument("--lmbda", type=float, default=0.0067,
+               help="rate-distortion lambda this checkpoint was trained "
+               "at; keys the point inside the curve file (re-evaluating "
+               "the same lambda replaces its point)")
+p.add_argument("--quality", type=int, default=None,
+               help="zoo quality slot for this point (metadata)")
 args = p.parse_args()
 if args.weights is not None:
     args.force = True
@@ -138,16 +144,53 @@ if not args.force:
         f"MS-SSIM {mean_ssim:.4f} below floor {FLOORS['ms_ssim']} — eval " \
         "bug or weight regression; rerun with --force to override"
 
+# Merge this point into the arch's RD-CURVE file (reference results
+# convention, /root/reference/results/image/kodak/*.json: one file per
+# model, parallel metric arrays sorted ascending by bpp).  Points are
+# keyed by training lambda: re-evaluating a lambda replaces its point.
+point = {
+    "psnr-rgb": float(np.mean(psnrs)),
+    "ms-ssim-rgb": float(np.mean(ssims)),
+    "bpp": float(np.mean(bpps)),
+    "lambda": float(args.lmbda),
+    "zoo-quality": args.quality,
+    "weights": args.weights and os.path.relpath(args.weights, ROOT),
+}
+points = []
+if os.path.exists(out_path):
+    with open(out_path) as f:
+        old = json.load(f)
+    r = old.get("results", {})
+    meta = old.get("points", {})
+    n_old = len(r.get("bpp", []))
+    for i in range(n_old):
+        points.append({
+            "psnr-rgb": r["psnr-rgb"][i],
+            "ms-ssim-rgb": r["ms-ssim-rgb"][i],
+            "bpp": r["bpp"][i],
+            "lambda": meta.get("lambda", [None] * n_old)[i],
+            "zoo-quality": meta.get("zoo-quality", [None] * n_old)[i],
+            "weights": meta.get("weights", [None] * n_old)[i],
+        })
+points = [q for q in points if q["lambda"] != point["lambda"]]
+points.append(point)
+points.sort(key=lambda q: q["bpp"])
 out = {
     "name": name,
     "description": desc,
     "results": {
-        "psnr-rgb": [float(np.mean(psnrs))],
-        "ms-ssim-rgb": [float(np.mean(ssims))],
-        "bpp": [float(np.mean(bpps))],
+        "psnr-rgb": [q["psnr-rgb"] for q in points],
+        "ms-ssim-rgb": [q["ms-ssim-rgb"] for q in points],
+        "bpp": [q["bpp"] for q in points],
+    },
+    "points": {
+        "lambda": [q["lambda"] for q in points],
+        "zoo-quality": [q["zoo-quality"] for q in points],
+        "weights": [q["weights"] for q in points],
     },
 }
 os.makedirs(os.path.dirname(out_path), exist_ok=True)
 with open(out_path, "w") as f:
     json.dump(out, f, indent=2)
-print("wrote", out_path)
+    f.write("\n")
+print("wrote", out_path, f"({len(points)} point(s))")
