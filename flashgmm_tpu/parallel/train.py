@@ -81,6 +81,47 @@ def data_parallel_train_step(model, opt_net, opt_aux, batch, key, lmbda: float =
     }
 
 
+@nnx.jit
+def vbr_train_step(model, opt_net, opt_aux, batch, key, s, lmbda):
+    """One stage-2 step for the VBR models (models/vbr.py).
+
+    ``s`` (traced int32 scalar) picks the Gain entry for this step and
+    ``lmbda`` (traced float scalar) the matching rate-distortion weight —
+    both traced, so ONE compiled program serves all 8 gain levels (the
+    reference's VBR recipe samples the level per iteration). Everything
+    else matches data_parallel_train_step.
+    """
+    import jax.numpy as jnp
+
+    def loss_fn(m):
+        out = m(batch, training=True, key=key, stage=2, s=s)
+        d = rate_distortion_loss(out, batch, lmbda=1.0)
+        # re-weight: rate_distortion_loss(lmbda=1) returns mse in
+        # d["mse_loss"]; rebuild the loss with the traced lambda
+        loss = lmbda * 255.0 ** 2 * d["mse_loss"] + d["bpp_loss"]
+        return loss, d
+
+    grad_fn = nnx.value_and_grad(
+        loss_fn, argnums=nnx.DiffState(0, NET_FILTER), has_aux=True
+    )
+    (loss, details), grads = grad_fn(model)
+    opt_net.update(model, _guard_nonfinite(loss, grads))
+
+    aux_grad_fn = nnx.value_and_grad(
+        lambda m: m.aux_loss(), argnums=nnx.DiffState(0, AUX_FILTER)
+    )
+    aux_loss, aux_grads = aux_grad_fn(model)
+    opt_aux.update(model, _guard_nonfinite(aux_loss, aux_grads))
+
+    return {
+        "loss": loss,
+        "bpp_loss": details["bpp_loss"],
+        "mse_loss": details["mse_loss"],
+        "aux_loss": aux_loss,
+        "s": jnp.asarray(s),
+    }
+
+
 @nnx.jit(static_argnames=("lmbda",))
 def video_train_step(model, opt_net, opt_aux, frames, key, lmbda: float = 1e-2):
     """One multi-frame RD step for video models (ssf2020).

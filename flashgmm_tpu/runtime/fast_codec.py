@@ -186,6 +186,40 @@ class FastCheckerboardGmmCodec:
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
         self._embed_jit = jax.jit(self._embed_impl)
         self._gs_jit = jax.jit(self._gs_impl)
+        # multi-device batch coding: explicit sharding pinned at every
+        # program boundary (see use_mesh)
+        self.data_sharding = None
+
+    def use_mesh(self, mesh, axis: str = "data"):
+        """Pin the codec to a device mesh for batch-data-parallel coding.
+
+        The shared-executable bit-exactness contract (class docstring)
+        extends to SPMD: a jit program recompiled for *sharded* inputs is a
+        DIFFERENT executable whose conv/CDF float rounding may differ at
+        the ULP level, so a stream encoded with sharded inputs only decodes
+        through rows programs compiled with the SAME input shardings. This
+        method pins the boundary tensors (input image, decoded z symbols,
+        anchor symbols) to an explicit batch sharding on BOTH the encode
+        and decode paths, so both directions dispatch to the same SPMD
+        executables. Call with ``mesh=None`` to return to single-device.
+
+        Streams produced under a mesh are self-consistent (exact y_hat
+        round-trip on the same topology) but are NOT guaranteed byte-equal
+        to single-device streams; topology-portable bitstreams are the
+        reference-format path's job (entropy_models compress/decompress).
+        """
+        if mesh is None:
+            self.data_sharding = None
+            return self
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.data_sharding = NamedSharding(mesh, P(axis, None, None, None))
+        return self
+
+    def _maybe_shard(self, a):
+        if self.data_sharding is None:
+            return a
+        return jax.device_put(a, self.data_sharding)
 
     # -- shared pieces -------------------------------------------------------
 
@@ -378,8 +412,11 @@ class FastCheckerboardGmmCodec:
         ``full=True`` disables the stream cap (used as the overflow
         fallback for pathological inputs)."""
         cd = 1 if full else self.cap_divisor
+        x = self._maybe_shard(x)
         ps_z, z_bin, sym0, sym1, y_hat = self._analyze_jit(self._state, x, cd)
         _prefetch(ps_z)
+        z_bin = self._maybe_shard(z_bin)
+        sym0 = self._maybe_shard(sym0)
         side = self._side_jit(self._state, z_bin)
         rows0 = self._rows0_jit(self._state, side[0])
         ps0 = _prefetch(self._encpass_jit(rows0, sym0.reshape(-1), cd))
@@ -398,12 +435,13 @@ class FastCheckerboardGmmCodec:
     def _decode_y(self, streams, y_shape):
         ps_z, ps0, ps1 = streams["z"], streams["y0"], streams["y1"]
         b, h, w, c = self._y_shape_parts(y_shape)
-        z_bin = self._zdec_jit(
+        z_bin = self._maybe_shard(self._zdec_jit(
             self._state, ps_z, (b, h // 4, w // 4, self._z_channels())
-        )
+        ))
         side = self._side_jit(self._state, z_bin)
         rows0 = self._rows0_jit(self._state, side[0])
-        sym0 = self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c)
+        sym0 = self._maybe_shard(
+            self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c))
         rows1 = self._rows1_jit(self._state, side[1], sym0)
         sym1 = self._decpass_jit(rows1, ps1).reshape(b, h, w // 2, c)
         y_hat = self._embed_jit(self._state, sym0, sym1)
@@ -681,11 +719,13 @@ class FastCheckerboardGsmCodec(FastCheckerboardGmmCodec):
 
     def encode(self, x, full: bool = False):
         cd = 1 if full else self.cap_divisor
+        x = self._maybe_shard(x)
         ps_z, z_bin, y0, y1 = self._analyze_jit(self._state, x, cd)
         _prefetch(ps_z)
+        z_bin = self._maybe_shard(z_bin)
         side = self._side_jit(self._state, z_bin)
         rows0, mu0 = self._rows0_jit(self._state, side[0])
-        sym0 = self._quantize_jit(y0, mu0)
+        sym0 = self._maybe_shard(self._quantize_jit(y0, mu0))
         ps0 = _prefetch(self._encpass_jit(rows0, sym0.reshape(-1), cd))
         rows1, mu1 = self._rows1_jit(self._state, side[1], sym0, mu0)
         sym1 = self._quantize_jit(y1, mu1)
@@ -696,12 +736,13 @@ class FastCheckerboardGsmCodec(FastCheckerboardGmmCodec):
     def _decode_y(self, streams, y_shape):
         ps_z, ps0, ps1 = streams["z"], streams["y0"], streams["y1"]
         b, h, w, c = self._y_shape_parts(y_shape)
-        z_bin = self._zdec_jit(
+        z_bin = self._maybe_shard(self._zdec_jit(
             self._state, ps_z, (b, h // 4, w // 4, self._z_channels())
-        )
+        ))
         side = self._side_jit(self._state, z_bin)
         rows0, mu0 = self._rows0_jit(self._state, side[0])
-        sym0 = self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c)
+        sym0 = self._maybe_shard(
+            self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c))
         rows1, mu1 = self._rows1_jit(self._state, side[1], sym0, mu0)
         sym1 = self._decpass_jit(rows1, ps1).reshape(b, h, w // 2, c)
         return self._embed_jit(self._state, sym0, sym1, mu0, mu1)

@@ -48,6 +48,7 @@ class FastElicGmmCodec:
         self.mode = get_approx_mode()
         self.groups = list(model.groups)
         self._graphdef, self._state = nnx.split(model)
+        self.data_sharding = None
 
         self._analyze_jit = jax.jit(self._analyze_impl, static_argnums=(2,))
         self._side_jit = jax.jit(self._side_impl)
@@ -247,9 +248,30 @@ class FastElicGmmCodec:
 
     # -- orchestration -----------------------------------------------------------
 
+    def use_mesh(self, mesh, axis: str = "data"):
+        """Pin batch-data-parallel coding to a mesh; see
+        FastCheckerboardGmmCodec.use_mesh for the SPMD bit-exactness
+        contract (same design: boundary tensors explicitly sharded so the
+        encode and decode directions dispatch to identical executables)."""
+        if mesh is None:
+            self.data_sharding = None
+            return self
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.data_sharding = NamedSharding(mesh, P(axis, None, None, None))
+        return self
+
+    def _maybe_shard(self, a):
+        if self.data_sharding is None:
+            return a
+        return jax.device_put(a, self.data_sharding)
+
     def encode(self, x, full: bool = False):
         cd = 1 if full else self.cap_divisor
+        x = self._maybe_shard(x)
         ps_z, z_bin, syms = self._analyze_jit(self._state, x, cd)
+        z_bin = self._maybe_shard(z_bin)
+        syms = tuple(self._maybe_shard(s) for s in syms)
         side_all = self._side_jit(self._state, z_bin)
         streams = [ps_z]
         for k in range(len(self.groups)):
@@ -270,9 +292,9 @@ class FastElicGmmCodec:
         else:
             h, w, c = shape
             b = 1
-        z_bin = self._zdec_jit(
+        z_bin = self._maybe_shard(self._zdec_jit(
             self._state, streams[0], (b, h // 4, w // 4, self._z_channels())
-        )
+        ))
         side_all = self._side_jit(self._state, z_bin)
         syms = []
         si = 1
@@ -283,12 +305,15 @@ class FastElicGmmCodec:
             )
             rows0 = self._rows_jit(
                 self._state, params_k,
-                jnp.zeros((b, h, w // 2, gk), jnp.int32), k, 0
+                self._maybe_shard(jnp.zeros((b, h, w // 2, gk), jnp.int32)),
+                k, 0
             )
-            sym0 = self._decpass_jit(rows0, streams[si]).reshape(b, h, w // 2, gk)
+            sym0 = self._maybe_shard(
+                self._decpass_jit(rows0, streams[si]).reshape(b, h, w // 2, gk))
             si += 1
             rows1 = self._rows_jit(self._state, params_k, sym0, k, 1)
-            sym1 = self._decpass_jit(rows1, streams[si]).reshape(b, h, w // 2, gk)
+            sym1 = self._maybe_shard(
+                self._decpass_jit(rows1, streams[si]).reshape(b, h, w // 2, gk))
             si += 1
             syms += [sym0, sym1]
         return self._embed_full_jit(self._state, tuple(syms))

@@ -47,6 +47,114 @@ class TestDataParallel:
         )
 
 
+class TestShardedCodec:
+    """VERDICT r3 item 4: shard the actual coding path, not just the
+    FactorizedPrior forward."""
+
+    @pytest.fixture(scope="class")
+    def flagship(self):
+        from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
+
+        net = Cheng2020AnchorCheckerboardGMMv2(N=64, K=4, rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        return net
+
+    def test_data_sharded_codec_roundtrip_exact(self, flagship):
+        """Batch-data-parallel coding on an 8-device mesh (use_mesh): the
+        sharded encode must agree with single-device on the SYMBOLS
+        (y_hat bitwise) and the sharded stream must round-trip exactly
+        through the mesh-pinned decode.
+
+        Byte-identity with the single-device stream is deliberately NOT
+        asserted: an SPMD-compiled rows program is a different executable
+        whose float CDF rounding may differ at the ULP level, so fast-
+        format streams are tied to the topology that coded them (see
+        FastCheckerboardGmmCodec.use_mesh). The z pass (integer table
+        path) IS byte-stable across topologies and is asserted equal.
+        """
+        from flashgmm_tpu.parallel import make_mesh
+        from flashgmm_tpu.runtime import FastCheckerboardGmmCodec
+
+        codec = FastCheckerboardGmmCodec(flagship, lanes=64, cap_divisor=1)
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(8, 64, 64, 3).astype(np.float32))
+        out_single = codec.encode(x)
+        y_shape = tuple(out_single["y_hat"].shape)  # full 4-tuple
+        data_single = codec.to_bytes(out_single)
+
+        mesh = make_mesh(8)
+        codec.use_mesh(mesh)
+        try:
+            out_sharded = codec.encode(x)
+            np.testing.assert_array_equal(
+                np.asarray(out_sharded["y_hat"]),
+                np.asarray(out_single["y_hat"]))
+            np.testing.assert_array_equal(
+                np.asarray(out_sharded["z"].stream),
+                np.asarray(out_single["z"].stream))
+            data_sharded = codec.to_bytes(out_sharded)
+            y_dec = codec.decode_y_hat(
+                codec.from_bytes(data_sharded, y_shape), y_shape)
+            np.testing.assert_array_equal(
+                np.asarray(y_dec), np.asarray(out_sharded["y_hat"]))
+        finally:
+            codec.use_mesh(None)
+
+        # back on single device the original stream still decodes
+        y_dec1 = codec.decode_y_hat(
+            codec.from_bytes(data_single, y_shape), y_shape)
+        np.testing.assert_array_equal(
+            np.asarray(y_dec1), np.asarray(out_single["y_hat"]))
+
+    def test_data_sharded_elic_codec_roundtrip_exact(self):
+        """Same mesh-pinned contract for the ELIC SCCTX fast codec."""
+        from flashgmm_tpu.models.elic_gmm import Elic2022GMM
+        from flashgmm_tpu.parallel import make_mesh
+        from flashgmm_tpu.runtime import FastElicGmmCodec
+
+        net = Elic2022GMM(N=32, M=64, K=2, groups=[8, 8, 16, 16, 16],
+                          rngs=nnx.Rngs(0))
+        net.update(update_quantiles=True)
+        codec = FastElicGmmCodec(net, lanes=64, cap_divisor=1)
+        x = jnp.asarray(
+            np.random.RandomState(6).rand(8, 64, 64, 3).astype(np.float32))
+        mesh = make_mesh(8)
+        codec.use_mesh(mesh)
+        out = codec.encode(x)
+        y_shape = tuple(out["y_hat"].shape)
+        y_dec = codec.decode_y_hat(out["streams"], y_shape)
+        np.testing.assert_array_equal(
+            np.asarray(y_dec), np.asarray(out["y_hat"]))
+
+    def test_spatial_sharded_flagship_forward(self, flagship):
+        """Full flagship forward (g_a + hyper + checkerboard context + GMM
+        likelihoods + g_s) sharded over image height — the 2K inference
+        configuration, on a tall-thin test image."""
+        from flashgmm_tpu.parallel import make_mesh
+        from flashgmm_tpu.parallel.inference import make_spatial_sharded_forward
+
+        mesh = make_mesh(8, data=1, spatial=8)
+        run = make_spatial_sharded_forward(flagship, mesh)
+        x = jnp.asarray(
+            np.random.RandomState(5).rand(1, 512, 64, 3).astype(np.float32))
+        out_sharded = run(x)
+        out_single = flagship(x, training=False)
+        # The SPMD-compiled convs differ from single-device at the ULP
+        # level, so a handful of latents sitting exactly on a rounding
+        # boundary quantize to the neighboring symbol (+-1), perturbing
+        # x_hat locally. Assert the flips stay rare and the aggregate
+        # rate matches; exact-bit coding across topologies goes through
+        # use_mesh (see the codec tests above).
+        xs, x1 = np.asarray(out_sharded["x_hat"]), np.asarray(out_single["x_hat"])
+        mismatch = np.mean(np.abs(xs - x1) > 2e-5)
+        assert mismatch < 0.02, f"{mismatch:.4f} of pixels differ"
+        bits_s = sum(float(jnp.sum(-jnp.log2(l)))
+                     for l in out_sharded["likelihoods"].values())
+        bits_1 = sum(float(jnp.sum(-jnp.log2(l)))
+                     for l in out_single["likelihoods"].values())
+        assert abs(bits_s - bits_1) / bits_1 < 1e-3, (bits_s, bits_1)
+
+
 class TestSpatialSharding:
     def test_spatial_g_a_matches_single(self, model):
         """Height-sharded conv transform must equal the unsharded result

@@ -65,10 +65,8 @@ def conv_flops_and_bytes(mod, x_shape):
             return shape
         if isinstance(m, Conv2d):
             b, h, w, cin = shape
-            s = m.strides if isinstance(m.strides, int) else m.strides[0]
-            kh, kw = (m.kernel_size, m.kernel_size) if isinstance(
-                m.kernel_size, int) else m.kernel_size
-            cout = m.kernel.value.shape[-1]
+            s = m.stride[0]
+            kh, kw, _, cout = m.kernel.value.shape
             ho, wo = h // s, w // s
             flops += 2 * kh * kw * cin * cout * ho * wo * b
             out = (b, ho, wo, cout)
@@ -77,11 +75,10 @@ def conv_flops_and_bytes(mod, x_shape):
             return out
         if isinstance(m, ConvTranspose2d):
             b, h, w, cin = shape
-            s = m.strides if isinstance(m.strides, int) else m.strides[0]
-            kh, kw = (m.kernel_size, m.kernel_size) if isinstance(
-                m.kernel_size, int) else m.kernel_size
-            cout = m.kernel.value.shape[-2]
+            s = m.stride[0]
+            kh, kw, _, cout = m.kernel.value.shape
             ho, wo = h * s, w * s
+            # input-dilated conv: only 1/s^2 of taps hit real samples
             flops += 2 * kh * kw * cin * cout * ho * wo * b // (s * s)
             out = (b, ho, wo, cout)
             nbytes += arr_bytes(shape) + arr_bytes(out) \
@@ -89,7 +86,7 @@ def conv_flops_and_bytes(mod, x_shape):
             return out
         if isinstance(m, PixelShuffle):
             b, h, w, c = shape
-            r = m.factor
+            r = m.r
             return (b, h * r, w * r, c // (r * r))
         if isinstance(m, GDN):
             b, h, w, c = shape

@@ -43,7 +43,7 @@ p.add_argument("--pool", type=int, default=40)
 p.add_argument("--resume", default=None,
                help="npz weights to load before training (fresh optimizer)")
 p.add_argument("--arch", default="ckbd",
-               choices=["ckbd", "elic", "factorized"])
+               choices=["ckbd", "elic", "factorized", "vbr"])
 p.add_argument("--N", type=int, default=128,
                help="factorized arch only: g_a/g_s width")
 p.add_argument("--M", type=int, default=192,
@@ -68,6 +68,17 @@ elif args.arch == "elic":
     model = Elic2022GMM(N=192, M=320, K=4, rngs=nnx.Rngs(0))
     if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
         args.out = "weights/elic_gmm_n192_m320_k4_synthetic.npz"
+elif args.arch == "vbr":
+    from flashgmm_tpu.models.vbr import VBR_GAINS, MeanScaleHyperpriorVbr
+
+    # vr_entbttlnck so the sweep exercises the variable-step z path
+    model = MeanScaleHyperpriorVbr(N=192, M=320, vr_entbttlnck=True,
+                                   rngs=nnx.Rngs(0))
+    # per-gain lambda: rate weight scales with the gain squared (the
+    # quantization step is 1/gain, so distortion weight ~ gain^2)
+    VBR_LMBDAS = [args.lmbda * (g / VBR_GAINS[-1]) ** 2 for g in VBR_GAINS]
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = "weights/mshp_vbr_n192_m320_synthetic.npz"
 else:
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
 if args.resume:
@@ -98,9 +109,26 @@ def save_weights(tag=""):
     print(json.dumps({"event": "saved", "tag": tag, "path": args.out}), flush=True)
 
 
+if args.arch == "vbr":
+    from flashgmm_tpu.parallel.train import vbr_train_step
+
+    def train_step(m, on, oa, x, k, lmbda):
+        # sample the gain level per step (reference VBR recipe); ONE
+        # compiled program serves all 8 levels (s and lambda are traced)
+        s = int(rs.randint(0, len(VBR_GAINS)))
+        return vbr_train_step(m, on, oa, x, k, jnp.int32(s),
+                              jnp.float32(VBR_LMBDAS[s]))
+else:
+    def train_step(m, on, oa, x, k, lmbda):
+        return data_parallel_train_step(m, on, oa, x, k, lmbda)
+
+
 @nnx.jit
 def eval_probe(m, x):
-    out = m(x, training=False)
+    if args.arch == "vbr":
+        out = m(x, training=False, stage=2, s=6)
+    else:
+        out = m(x, training=False)
     num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
     bpp = sum(
         jnp.sum(-jnp.log2(l)) for l in jax.tree.leaves(out["likelihoods"])
@@ -111,7 +139,7 @@ def eval_probe(m, x):
 
 t0 = time.time()
 x = jnp.asarray(random_crop(pool, args.bs, args.crop, rs))
-out = data_parallel_train_step(model, opt_net, opt_aux, x, key, args.lmbda)
+out = train_step(model, opt_net, opt_aux, x, key, args.lmbda)
 print(f"compile {time.time()-t0:.0f}s loss={float(out['loss']):.3f}", flush=True)
 
 t0 = time.time()
@@ -119,7 +147,7 @@ last_good = 0
 for i in range(args.steps):
     key, sub = jax.random.split(key)
     x = jnp.asarray(random_crop(pool, args.bs, args.crop, rs))
-    out = data_parallel_train_step(model, opt_net, opt_aux, x, sub, args.lmbda)
+    out = train_step(model, opt_net, opt_aux, x, sub, args.lmbda)
     if i % 250 == 0:
         loss = float(out["loss"])
         if not np.isfinite(loss):
