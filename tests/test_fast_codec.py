@@ -198,3 +198,31 @@ class TestPallasGuard:
         ysh = tuple(enc["y_hat"].shape[1:])
         y = codec.decode_y_hat(codec.from_bytes(data, ysh), ysh)
         np.testing.assert_array_equal(np.asarray(y), np.asarray(enc["y_hat"]))
+
+
+class TestTiledSynthesis:
+    def test_tiled_gs_matches_direct(self, setup):
+        """H-tiled g_s (runtime/tiled.py) must reproduce the direct
+        transform up to conv ULP noise (final pixels, not coding math)."""
+        net, codec = setup
+        from flashgmm_tpu.runtime.tiled import make_tiled_gs
+
+        y = jnp.asarray(
+            np.random.RandomState(7).rand(1, 24, 8, 64).astype(np.float32))
+        direct = jnp.clip(codec._transform(net.g_s, y), 0, 1)
+        tiled = make_tiled_gs(codec, tile_h=4, halo=8)(y)
+        assert tiled.shape == direct.shape
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(direct), atol=2e-2)
+        # overwhelming majority of pixels bit-match the untiled program
+        frac = np.mean(np.abs(np.asarray(tiled) - np.asarray(direct)) > 1e-6)
+        assert frac < 0.05, f"{frac:.4f} of pixels differ beyond ULP noise"
+
+    def test_tiled_gs_small_input_passthrough(self, setup):
+        net, codec = setup
+        from flashgmm_tpu.runtime.tiled import make_tiled_gs
+
+        y = jnp.asarray(
+            np.random.RandomState(8).rand(1, 8, 8, 64).astype(np.float32))
+        out = make_tiled_gs(codec, tile_h=16, halo=8)(y)
+        assert out.shape == (1, 128, 128, 3)

@@ -122,10 +122,38 @@ def main():
     p.add_argument("--skip-subpel-check", action="store_true")
     args = p.parse_args()
 
+    import time
+
+    import jax
+
     from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
     from flashgmm_tpu.runtime.fast_codec import apply_transform
-    from flashgmm_tpu.runtime.latency_probe import measure_fn_latency
     import bench as B
+
+    def measure_dispatch_chain(fn, x, k1=4, k2=24, reps=3):
+        """Device ms per fn(x) via the dispatch-chain slope.
+
+        Dispatches k independent calls (they execute serially in dispatch
+        order on the device queue) and fetches one scalar from the LAST
+        output — the only sync that provably waits on axon. The (k2-k1)
+        slope cancels the ~27 ms tunnel RTT and the dispatch overhead.
+        Cheaper to compile than the fori_loop probe (plain jit of fn; no
+        giant loop program) at the cost of k dispatches per sample.
+        """
+        jfn = jax.jit(fn)
+
+        def timed(k):
+            outs = [jfn(x) for _ in range(k)]
+            t0 = time.time()
+            for _ in range(reps):
+                outs = [jfn(x) for _ in range(k)]
+                float(jax.tree.leaves(outs[-1])[0][(0,) * 4])
+            return (time.time() - t0) / reps * 1e3
+
+        timed(k1)  # warm (compile + cache)
+        t1 = timed(k1)
+        t2 = timed(k2)
+        return (t2 - t1) / (k2 - k1)
 
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
     B._load_bench_weights(model)
@@ -142,8 +170,8 @@ def main():
     for name, mod, inp in (("g_a", model.g_a, x), ("g_s", model.g_s, y),
                            ("h_a", hyper.h_a, y), ("h_s", hyper.h_s, z)):
         fl, by, out_shape = conv_flops_and_bytes(mod, inp.shape)
-        ms = measure_fn_latency(lambda v, m=mod: apply_transform(m, v, True),
-                                inp)
+        ms = measure_dispatch_chain(
+            lambda v, m=mod: apply_transform(m, v, True), inp)
         t_mxu = fl / PEAK_BF16 * 1e3
         t_hbm = by / PEAK_HBM * 1e3
         mfu = fl / (ms / 1e3) / PEAK_BF16
