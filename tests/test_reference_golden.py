@@ -84,6 +84,22 @@ def test_gsm_encode_byte_identical(mode):
 
 
 @pytest.mark.parametrize("mode", [0, 1, 2])
+def test_gsm_simd_insensitive_and_simd1_golden(mode):
+    """The reference's GSM (single-Gaussian, search-based) path emits
+    byte-identical streams under USE_SIMD=0 and USE_SIMD=1 (recorded
+    goldens agree for every APPROX_MODE) — unlike the GMM path, whose
+    SIMD horizontal-add order changes the CDF bits and needs the simd
+    flag on our host coder. Assert that insensitivity holds on the
+    recordings, and that our single (scalar-order) GSM encoder matches
+    the simd=1 recording byte-for-byte too."""
+    g0 = _load(f"gsm_mode{mode}_simd0.npz")
+    g1 = _load(f"gsm_mode{mode}_simd1.npz")
+    assert g0["bitstream"].tobytes() == g1["bitstream"].tobytes()
+    ours = cext.encode_gsm_host(g1["symbols"], g1["scales"], approx_mode=mode)
+    assert ours == g1["bitstream"].tobytes()
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
 def test_gsm_decodes_reference_bitstream(mode):
     g = _load(f"gsm_mode{mode}_simd0.npz")
     dec = cext.decode_gsm_host(
