@@ -70,13 +70,25 @@ model_architectures = dict(MODELS)
 # follow the reference's rate ordering (higher quality = higher rate).
 _REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[2]
 local_weights = {
-    # flagship ckbd-GMM, N=192 K=4 (quality 4-6 are the N=192 slots)
+    # flagship ckbd-GMM, N=192 K=4 (quality 4-6 are the N=192 slots; the
+    # extra low-rate lambda=0.001 point lives in the RD curve file only —
+    # the reference's q1-3 cfgs are N=128, which that checkpoint is not)
     ("cheng2020-anchor-checkerboard-gmm", 4):
         "weights/ckbd_gmm_n192_k4_q2.npz",          # lambda=0.0025
     ("cheng2020-anchor-checkerboard-gmm", 5):
         "weights/ckbd_gmm_n192_k4_synthetic.npz",   # lambda=0.0067
+    ("cheng2020-anchor-checkerboard-gmm", 6):
+        "weights/ckbd_gmm_n192_k4_q6.npz",          # lambda=0.013
+    ("elic2022-official", 4):
+        "weights/elic_gmm_n192_m320_k4_q4.npz",     # lambda=0.0025
     ("elic2022-official", 5):
         "weights/elic_gmm_n192_m320_k4_synthetic.npz",
+    ("elic2022-official", 6):
+        "weights/elic_gmm_n192_m320_k4_q6.npz",     # lambda=0.013
+    ("mbt2018-mean-vbr", 1):
+        "weights/mshp_vbr_n192_m320_synthetic.npz",  # ONE model, 8 gains
+    ("ssf2020", 5):
+        "weights/ssf2020_synthetic.npz",
     ("bmshj2018-factorized", 4):
         "weights/factorized_n128_m192_synthetic.npz",
 }
@@ -115,6 +127,9 @@ def create_model(architecture: str, quality: int = 1, metric: str = "mse",
             ckwargs[name] = val
     if "K" in sig.parameters:
         ckwargs.setdefault("K", K)
+    if "vr_entbttlnck" in sig.parameters:
+        # the shipped VBR checkpoint trains the variable-step z bottleneck
+        ckwargs.setdefault("vr_entbttlnck", True)
     model = cls(**ckwargs, rngs=rngs or nnx.Rngs(0))
 
     if weights_path:

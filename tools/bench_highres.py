@@ -32,6 +32,9 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--n-batches", type=int, default=2)
     p.add_argument("--lanes", type=int, default=4096)
+    p.add_argument("--tiled", type=int, default=0, metavar="TILE_H",
+                   help="also measure decode with the H-tiled g_s "
+                   "(runtime/tiled.py) at this latent tile height")
     args = p.parse_args()
 
     from flashgmm_tpu.models.ckbd_gmm import Cheng2020AnchorCheckerboardGMMv2
@@ -86,6 +89,27 @@ def main():
     float(recs[-1][0, 0, 0, 0])
     dec_ms = (time.time() - t0) / n_images * 1000
 
+    tiled_ms = None
+    if args.tiled:
+        from flashgmm_tpu.runtime.tiled import make_tiled_gs
+
+        gs_tiled = make_tiled_gs(codec, tile_h=args.tiled)
+
+        def dec_tiled(d):
+            y = codec.decode_y_hat(codec.from_bytes(d, by_shape), by_shape)
+            return gs_tiled(y)
+
+        rec_t = dec_tiled(datas[0])  # compile (2 tile shapes max)
+        err = float(jnp.max(jnp.abs(rec_t - recs[0])))
+        float(rec_t[0, 0, 0, 0])
+        t0 = time.time()
+        recs_t = [dec_tiled(d) for d in datas]
+        float(recs_t[-1][0, 0, 0, 0])
+        tiled_ms = (time.time() - t0) / n_images * 1000
+        print(f"tiled decode (tile_h={args.tiled}): {tiled_ms:.1f} ms/img "
+              f"(untiled {dec_ms:.1f}); max |diff| vs untiled {err:.2e}",
+              flush=True)
+
     nbytes = len(datas[0]) / BATCH
     bpp = nbytes * 8 / (H * W)
     mpx_s = H * W * 1e-6 / ((enc_ms + dec_ms) / 1e3)
@@ -98,6 +122,9 @@ def main():
         "psnr_rgb": round(psnr, 2),
         "megapixels_per_second_encdec": round(mpx_s, 1),
     }
+    if tiled_ms is not None:
+        out["dec_ms_per_img_tiled"] = round(tiled_ms, 2)
+        out["tile_h"] = args.tiled
     print(json.dumps(out), flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "results/synthetic/highres_throughput.json")
