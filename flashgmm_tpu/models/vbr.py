@@ -67,7 +67,9 @@ class ScaleHyperpriorVbr(ScaleHyperprior):
         return lower_bound(q, 0.5)
 
     def _get_scale(self, s: int, inputscale=0):
-        s = max(0, min(s, self.levels - 1))
+        # s may be a traced int32 (vbr_train_step samples the level per
+        # step inside one compiled program) — clamp with jnp, not python
+        s = jnp.clip(s, 0, self.levels - 1)
         if inputscale:
             return jnp.asarray(inputscale, jnp.float32)
         return jax.lax.stop_gradient(jnp.abs(self.Gain.value[s]))

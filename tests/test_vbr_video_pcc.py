@@ -213,3 +213,27 @@ class TestPointCloudVariants:
         c = net.compress(pts)
         r = net.decompress(c["strings"], c["shape"])
         assert r["x_hat"].shape == pts.shape
+
+
+class TestVbrTrainStep:
+    def test_one_program_serves_all_gain_levels(self):
+        """vbr_train_step traces s and lambda, so one compiled program
+        trains every Gain level (the reference's VBR recipe samples the
+        level per iteration)."""
+        import jax
+        import jax.numpy as jnp
+        from flashgmm_tpu.models.vbr import MeanScaleHyperpriorVbr
+        from flashgmm_tpu.parallel import make_train_state
+        from flashgmm_tpu.parallel.train import vbr_train_step
+
+        net = MeanScaleHyperpriorVbr(32, 48, vr_entbttlnck=True,
+                                     rngs=nnx.Rngs(0))
+        opt_net, opt_aux = make_train_state(net)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+        key = jax.random.key(0)
+        for s, lm in ((0, 1e-4), (7, 1e-2)):
+            out = vbr_train_step(net, opt_net, opt_aux, x, key,
+                                 jnp.int32(s), jnp.float32(lm))
+            assert np.isfinite(float(out["loss"]))
+            assert int(out["s"]) == s
