@@ -364,12 +364,45 @@ class ResidualBlockUpsample(nnx.Module):
         self.upsample = subpel_conv3x3(in_ch, out_ch, upsample, rngs=rngs)
 
     def __call__(self, x):
+        if _FUSE_RBU:
+            return self._call_fused(x)
         identity = self.upsample(x)
         out = self.subpel_conv(x)
         out = leaky_relu(out)
         out = self.conv(out)
         out = self.igdn(out)
         return out + identity
+
+    def _call_fused(self, x):
+        """Fused variant: the main subpel conv and the skip subpel conv
+        read the SAME input with the same geometry, so their kernels
+        concatenate into one conv with twice the output channels — one
+        input read, one larger MXU matmul (opt-in: FLASHGMM_FUSE_RBU=1).
+        Same math per channel; bf16 tiling may differ at ULP level (fine
+        for synthesis pixels, never used on entropy-coding math)."""
+        c1, c2 = self.subpel_conv.layers[0], self.upsample.layers[0]
+        r = self.subpel_conv.layers[1].r
+        k = jnp.concatenate([c1.kernel.value, c2.kernel.value], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), window_strides=c1.stride,
+            padding=c1.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        n_out = c1.kernel.value.shape[-1]
+        b = jnp.concatenate([c1.bias.value, c2.bias.value]).astype(x.dtype)
+        y = y + b
+        out = pixel_shuffle(y[..., :n_out], r)
+        identity = pixel_shuffle(y[..., n_out:], r)
+        out = leaky_relu(out)
+        out = self.conv(out)
+        out = self.igdn(out)
+        return out + identity
+
+
+# Fuse the two parallel subpel convs inside every ResidualBlockUpsample
+# (g_s main + skip paths) into one conv. Off by default pending an on-TPU
+# A/B (tools/bench_variance.py chain_slope); numerics are per-channel
+# identical modulo conv-tiling ULPs.
+_FUSE_RBU = __import__("os").environ.get("FLASHGMM_FUSE_RBU", "0") == "1"
 
 
 class ResidualBlock(nnx.Module):
