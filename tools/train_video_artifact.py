@@ -34,6 +34,8 @@ p.add_argument("--lmbda", type=float, default=0.01)
 p.add_argument("--lr", type=float, default=1e-4)
 p.add_argument("--cpu", action="store_true")
 p.add_argument("--resume", default=None)
+p.add_argument("--skip-train", action="store_true",
+               help="load --out weights and run only the real-codec eval")
 p.add_argument("--eval-hw", type=int, nargs=2, default=(384, 256))
 p.add_argument("--eval-frames", type=int, default=5)
 p.add_argument("--out", default="weights/ssf2020_synthetic.npz")
@@ -82,6 +84,11 @@ def video_batch(pool, bs, t, crop, rs):
 
 
 model = ScaleSpaceFlow(rngs=nnx.Rngs(0))
+if args.skip_train:
+    n = load_npz_weights(model, os.path.join(ROOT, args.out))
+    print(f"loaded {n} tensors from {args.out}; skipping training",
+          flush=True)
+    args.steps = 0
 if args.resume:
     print("resumed", load_npz_weights(model, args.resume), "tensors", flush=True)
 opt_net, opt_aux = make_train_state(model, args.lr, 1e-3)
@@ -128,9 +135,14 @@ for i, img in enumerate(pool_eval):
     rec = model.decompress(strings, shapes)
 
     def _nbytes(o):
-        if isinstance(o, (bytes, bytearray)):
+        if isinstance(o, (bytes, bytearray, memoryview)):
             return len(o)
-        return sum(_nbytes(x) for x in o)
+        if isinstance(o, str):  # a str iterates into strs forever
+            return len(o.encode())
+        try:
+            return sum(_nbytes(x) for x in o)
+        except TypeError:
+            return 0
 
     nbytes = _nbytes(strings)
     n_pix = args.eval_frames * frames[0].shape[1] * frames[0].shape[2]
