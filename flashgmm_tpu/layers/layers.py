@@ -399,10 +399,11 @@ class ResidualBlockUpsample(nnx.Module):
 
 
 # Fuse the two parallel subpel convs inside every ResidualBlockUpsample
-# (g_s main + skip paths) into one conv. Off by default pending an on-TPU
-# A/B (tools/bench_variance.py chain_slope); numerics are per-channel
-# identical modulo conv-tiling ULPs.
-_FUSE_RBU = __import__("os").environ.get("FLASHGMM_FUSE_RBU", "0") == "1"
+# (g_s main + skip paths) into one conv. DEFAULT ON after the on-TPU A/B
+# (tools/mfu_analysis.py, v5e batch 24: g_s 186.0 -> 177.7 ms/batch,
+# -4.5%); numerics are per-channel identical modulo conv-tiling ULPs
+# (bitwise equal on CPU). FLASHGMM_FUSE_RBU=0 restores separate convs.
+_FUSE_RBU = __import__("os").environ.get("FLASHGMM_FUSE_RBU", "1") == "1"
 
 
 class ResidualBlock(nnx.Module):
