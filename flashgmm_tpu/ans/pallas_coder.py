@@ -33,6 +33,25 @@ W=512 Pallas 0.39 ms vs scan 2.36 ms (6x, bit-exact, T=384/196k syms,
 ~500M syms/s); at W=1024 the scan's fewer-steps advantage wins (0.60 vs
 2.47 ms). Production policy (fast_codec._pallas_decode_default): Pallas
 decode at W <= 512 on TPU, XLA scan otherwise.
+
+ROOT CAUSE of the round-3 "lanes=512 desync inside the fused latency
+program" (round 4, tools/debug_pallas_fused.py +
+tools/debug_pallas_incontext.py): the KERNEL IS INNOCENT. Bisection
+showed each float-rows y pass desyncs independently while the z pass
+(integer-table rows) never does; and scan-vs-kernel on IDENTICAL traced
+rows inside the same fused context agree 0/147456. What actually breaks
+is the latency codec's cross-program contract: its encode and decode are
+separate XLA programs whose float CDF -> quantized-rows pipelines only
+produce bit-identical integers when the two programs are structurally
+identical. Swapping the decode backend to this custom call perturbs
+XLA's fusion of the SURROUNDING rows computation in the decode program,
+so a small fraction of row integers land one ULP across a quantization
+boundary vs the encoder's — and the rANS state chain amplifies that to
+~30% wrong symbols. The composable codecs are immune by design (encoder
+and decoder share the rows executables — fast_codec.py class docstring)
+which is why this kernel is production there; the latency codecs pin
+scan-decode because their ENCODER's rows fused against a scan-shaped
+program, and their on-chip certification guards the contract at runtime.
 """
 
 import jax

@@ -59,14 +59,21 @@ class FastLatencyGmmCodec:
         # Decode backend: ALWAYS the XLA scan by default. The Pallas Mosaic
         # kernel is bit-exact inside FastCheckerboardGmmCodec's decode
         # programs (tools/test_codec_exact_tpu.py, lanes=512) but DESYNCS
-        # inside THIS codec's single fused decode program: measured
-        # 2026-08-19 on the v5e (tools/debug_latency_cert512.py), 43k/147k
-        # pass-0 symbols wrong with identical streams+rows while the scan
-        # decodes all passes exactly — a cross-program-context divergence
-        # of the kind certification exists to catch (it did: encode fell
-        # back safely). It is also slower end-to-end here (dec 13.5 ms at
-        # lanes=512/pallas vs 12.3 at 1024/scan), so there is nothing to
-        # chase. Opt in explicitly via pallas_decode=True to reproduce.
+        # inside THIS codec's single fused decode program. ROOT-CAUSED in
+        # round 4 (tools/debug_pallas_fused.py bisection + in-context
+        # scan-vs-kernel agreement on identical rows,
+        # tools/debug_pallas_incontext.py): the kernel itself is exact;
+        # swapping the decode backend perturbs XLA's fusion of the
+        # SURROUNDING float CDF -> rows pipeline, whose integers then
+        # differ at quantization boundaries from the ENCODE program's —
+        # the cross-program hazard this codec's certification exists to
+        # catch (only the y passes can desync; the z pass's integer-table
+        # rows are immune, as the bisection showed). The trigger is any
+        # structural decode-program change, not lanes==512. Scan-decode
+        # stays pinned because the encoder's rows fused against a
+        # scan-shaped program; it is also faster end-to-end here (dec
+        # 12.3 ms at 1024/scan vs 13.5 at 512/pallas). Opt in via
+        # pallas_decode=True to reproduce; certification still guards it.
         self.pallas_decode = (
             False if pallas_decode is None else bool(pallas_decode)
         )

@@ -106,10 +106,9 @@ def main():
             s_scan, s_pal = fused(lc._state, (ps_z, ps0, ps1))
             a, bb = np.asarray(s_scan), np.asarray(s_pal)
             mm = int(np.sum(a != bb))
-            ok_enc = int(np.sum(a != np.asarray(sym0).ravel()[:a.size]))
             print(f"stage {tag} (copy_inputs={copy_inputs}): "
-                  f"scan-vs-pallas mismatch {mm}/{a.size}; "
-                  f"scan-vs-encoder {ok_enc}", flush=True)
+                  f"scan-vs-pallas mismatch {mm}/{a.size} "
+                  f"(lane-major [T, W])", flush=True)
 
     if "C" in stages:
         # y0 pass alone in a small program (control: known exact)
