@@ -50,14 +50,18 @@ def make_train_state(model, learning_rate=1e-4, aux_learning_rate=1e-3,
     return opt_net, opt_aux
 
 
-@nnx.jit(static_argnames=("lmbda",))
-def data_parallel_train_step(model, opt_net, opt_aux, batch, key, lmbda: float = 1e-2):
+@nnx.jit(static_argnames=("lmbda", "metric"))
+def data_parallel_train_step(model, opt_net, opt_aux, batch, key,
+                             lmbda: float = 1e-2, metric: str = "mse"):
     """One RD step + one aux step; works on any mesh when ``batch`` is
-    sharded over the data axis (single-device otherwise)."""
+    sharded over the data axis (single-device otherwise).
+
+    ``metric`` selects the distortion term ("mse" or "ms-ssim", matching
+    the reference's dual MSE/MS-SSIM training recipes)."""
 
     def loss_fn(m):
         out = m(batch, training=True, key=key)
-        d = rate_distortion_loss(out, batch, lmbda=lmbda)
+        d = rate_distortion_loss(out, batch, lmbda=lmbda, metric=metric)
         return d["loss"], d
 
     grad_fn = nnx.value_and_grad(
@@ -76,7 +80,7 @@ def data_parallel_train_step(model, opt_net, opt_aux, batch, key, lmbda: float =
     return {
         "loss": loss,
         "bpp_loss": details["bpp_loss"],
-        "mse_loss": details["mse_loss"],
+        "mse_loss": details.get("mse_loss", details.get(f"{metric}_loss")),
         "aux_loss": aux_loss,
     }
 

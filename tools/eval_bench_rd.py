@@ -46,6 +46,10 @@ p.add_argument("--lmbda", type=float, default=0.0067,
                "the same lambda replaces its point)")
 p.add_argument("--quality", type=int, default=None,
                help="zoo quality slot for this point (metadata)")
+p.add_argument("--metric", default="mse", choices=("mse", "ms-ssim"),
+               help="distortion metric the checkpoint was trained for "
+               "(recorded per point; use a separate --out file for the "
+               "ms-ssim line, mirroring the reference's *_ms-ssim files)")
 args = p.parse_args()
 if args.weights is not None:
     args.force = True
@@ -154,6 +158,7 @@ point = {
     "bpp": float(np.mean(bpps)),
     "lambda": float(args.lmbda),
     "zoo-quality": args.quality,
+    "metric": args.metric,
     "weights": args.weights and os.path.relpath(args.weights, ROOT),
 }
 points = []
@@ -170,6 +175,7 @@ if os.path.exists(out_path):
             "bpp": r["bpp"][i],
             "lambda": meta.get("lambda", [None] * n_old)[i],
             "zoo-quality": meta.get("zoo-quality", [None] * n_old)[i],
+            "metric": meta.get("metric", ["mse"] * n_old)[i],
             "weights": meta.get("weights", [None] * n_old)[i],
         })
 points = [q for q in points if q["lambda"] != point["lambda"]]
@@ -186,6 +192,7 @@ out = {
     "points": {
         "lambda": [q["lambda"] for q in points],
         "zoo-quality": [q["zoo-quality"] for q in points],
+        "metric": [q.get("metric", "mse") for q in points],
         "weights": [q["weights"] for q in points],
     },
 }

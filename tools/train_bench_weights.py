@@ -43,11 +43,15 @@ p.add_argument("--pool", type=int, default=40)
 p.add_argument("--resume", default=None,
                help="npz weights to load before training (fresh optimizer)")
 p.add_argument("--arch", default="ckbd",
-               choices=["ckbd", "elic", "factorized", "vbr"])
+               choices=["ckbd", "elic", "factorized", "vbr",
+                        "mshp", "bmshj", "ckbd-gc"])
 p.add_argument("--N", type=int, default=128,
-               help="factorized arch only: g_a/g_s width")
+               help="factorized/mshp/bmshj/ckbd-gc: g_a/g_s width")
 p.add_argument("--M", type=int, default=192,
-               help="factorized arch only: latent channels")
+               help="factorized/mshp/bmshj: latent channels")
+p.add_argument("--metric", default="mse", choices=["mse", "ms-ssim"],
+               help="distortion term (reference trains parallel MSE and "
+               "MS-SSIM model lines)")
 p.add_argument("--cpu", action="store_true",
                help="train on the host CPU (don't claim the TPU tunnel); "
                "for small configs, e.g. the standalone-codec FactorizedPrior")
@@ -79,6 +83,24 @@ elif args.arch == "vbr":
     VBR_LMBDAS = [args.lmbda * (g / VBR_GAINS[-1]) ** 2 for g in VBR_GAINS]
     if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
         args.out = "weights/mshp_vbr_n192_m320_synthetic.npz"
+elif args.arch == "mshp":
+    from flashgmm_tpu.models.google import MeanScaleHyperprior
+
+    model = MeanScaleHyperprior(N=args.N, M=args.M, rngs=nnx.Rngs(0))
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = f"weights/mshp_n{args.N}_m{args.M}_synthetic.npz"
+elif args.arch == "bmshj":
+    from flashgmm_tpu.models.google import ScaleHyperprior
+
+    model = ScaleHyperprior(N=args.N, M=args.M, rngs=nnx.Rngs(0))
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = f"weights/bmshj_hp_n{args.N}_m{args.M}_synthetic.npz"
+elif args.arch == "ckbd-gc":
+    from flashgmm_tpu.models.sensetime import Cheng2020AnchorCheckerboard
+
+    model = Cheng2020AnchorCheckerboard(N=args.N, rngs=nnx.Rngs(0))
+    if args.out == "weights/ckbd_gmm_n192_k4_synthetic.npz":
+        args.out = f"weights/ckbd_gc_n{args.N}_synthetic.npz"
 else:
     model = Cheng2020AnchorCheckerboardGMMv2(N=192, K=4, rngs=nnx.Rngs(0))
 if args.resume:
@@ -120,7 +142,8 @@ if args.arch == "vbr":
                               jnp.float32(VBR_LMBDAS[s]))
 else:
     def train_step(m, on, oa, x, k, lmbda):
-        return data_parallel_train_step(m, on, oa, x, k, lmbda)
+        return data_parallel_train_step(m, on, oa, x, k, lmbda,
+                                        metric=args.metric)
 
 
 @nnx.jit
