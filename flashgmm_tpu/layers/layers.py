@@ -106,9 +106,27 @@ class Conv2d(nnx.Module):
         return self.kernel.value
 
     def __call__(self, x):
+        w = self._weight()
+        # Hand-tiled MXU kernel for the bf16 inference path (the runtime
+        # codecs enter use_pallas_conv() while tracing; see
+        # ops/pallas_conv.py). Only for 'same' stride-1 convs on bf16
+        # activations — everything else keeps the XLA conv.
+        if x.dtype == jnp.bfloat16:
+            from flashgmm_tpu.ops import pallas_conv as _pc
+
+            kh, kw = w.shape[0], w.shape[1]
+            if (_pc.pallas_conv_enabled()
+                    and jax.default_backend() == "tpu"
+                    and self.padding == ((kh // 2, kh // 2), (kw // 2, kw // 2))
+                    and _pc.conv2d_supported(x.shape, w.shape, self.stride)):
+                return _pc.conv2d_nhwc_pallas(
+                    x, w,
+                    None if self.bias is None else self.bias.value,
+                    out_dtype=jnp.bfloat16,
+                )
         y = jax.lax.conv_general_dilated(
             x,
-            self._weight(),
+            w,
             window_strides=self.stride,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -383,13 +401,20 @@ class ResidualBlockUpsample(nnx.Module):
         c1, c2 = self.subpel_conv.layers[0], self.upsample.layers[0]
         r = self.subpel_conv.layers[1].r
         k = jnp.concatenate([c1.kernel.value, c2.kernel.value], axis=-1)
-        y = jax.lax.conv_general_dilated(
-            x, k.astype(x.dtype), window_strides=c1.stride,
-            padding=c1.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
         n_out = c1.kernel.value.shape[-1]
-        b = jnp.concatenate([c1.bias.value, c2.bias.value]).astype(x.dtype)
-        y = y + b
+        bias = jnp.concatenate([c1.bias.value, c2.bias.value])
+        from flashgmm_tpu.ops import pallas_conv as _pc
+
+        if (x.dtype == jnp.bfloat16 and _pc.pallas_conv_enabled()
+                and jax.default_backend() == "tpu"
+                and _pc.conv2d_supported(x.shape, k.shape, c1.stride)):
+            y = _pc.conv2d_nhwc_pallas(x, k, bias, out_dtype=jnp.bfloat16)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k.astype(x.dtype), window_strides=c1.stride,
+                padding=c1.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + bias.astype(x.dtype)
         out = pixel_shuffle(y[..., :n_out], r)
         identity = pixel_shuffle(y[..., n_out:], r)
         out = leaky_relu(out)
