@@ -107,11 +107,13 @@ class Conv2d(nnx.Module):
 
     def __call__(self, x):
         w = self._weight()
-        # Hand-tiled MXU kernel for the bf16 inference path (the runtime
-        # codecs enter use_pallas_conv() while tracing; see
-        # ops/pallas_conv.py). Only for 'same' stride-1 convs on bf16
-        # activations — everything else keeps the XLA conv.
-        if x.dtype == jnp.bfloat16:
+        # Hand-tiled MXU kernel for the inference path (the runtime codecs
+        # enter use_pallas_conv() while tracing; see ops/pallas_conv.py).
+        # bf16 activations compute in bf16 (the fast transforms); f32
+        # activations compute in f32 (the fenced entropy-parameter chain,
+        # where the kernel's cross-program bitwise reproducibility is the
+        # point). Everything else keeps the XLA conv.
+        if x.dtype in (jnp.bfloat16, jnp.float32):
             from flashgmm_tpu.ops import pallas_conv as _pc
 
             kh, kw = w.shape[0], w.shape[1]
@@ -122,7 +124,7 @@ class Conv2d(nnx.Module):
                 return _pc.conv2d_nhwc_pallas(
                     x, w,
                     None if self.bias is None else self.bias.value,
-                    out_dtype=jnp.bfloat16,
+                    out_dtype=x.dtype, compute_dtype=x.dtype,
                 )
         y = jax.lax.conv_general_dilated(
             x,

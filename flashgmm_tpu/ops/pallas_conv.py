@@ -57,21 +57,23 @@ def use_pallas_conv(enable: bool = True):
         _USE.reset(tok)
 
 
-def _vmem_bytes(h_tile, w, c_in, c_out, k, has_res):
+def _vmem_bytes(h_tile, w, c_in, c_out, k, has_res, esize=2):
     pad_lanes = lambda c: -(-c // 128) * 128
     hw = h_tile + k - 1
-    b = k * hw * w * pad_lanes(c_in) * 2          # shifted windows (bf16)
+    b = k * hw * w * pad_lanes(c_in) * esize      # shifted windows
     b += h_tile * w * pad_lanes(c_out) * 4        # f32 accumulator
-    b += k * k * pad_lanes(c_in) * pad_lanes(c_out) * 2  # weights
-    b += h_tile * w * pad_lanes(c_out) * 2        # out block
+    b += k * k * pad_lanes(c_in) * pad_lanes(c_out) * esize  # weights
+    b += h_tile * w * pad_lanes(c_out) * esize    # out block
     if has_res:
-        b += h_tile * w * pad_lanes(c_out) * 2
+        b += h_tile * w * pad_lanes(c_out) * esize
     return b
 
 
-def _pick_h_tile(h, w, c_in, c_out, k, has_res, budget=9 * 1024 * 1024):
+def _pick_h_tile(h, w, c_in, c_out, k, has_res, esize=2,
+                 budget=9 * 1024 * 1024):
     for ht in (32, 16, 8, 4, 2, 1):
-        if h % ht == 0 and _vmem_bytes(ht, w, c_in, c_out, k, has_res) <= budget:
+        if h % ht == 0 and _vmem_bytes(ht, w, c_in, c_out, k, has_res,
+                                       esize) <= budget:
             return ht
     return None
 
@@ -90,8 +92,7 @@ def conv2d_supported(x_shape, w_shape, stride) -> bool:
         and c_in >= 64
         and c_out >= 64
         and w % 8 == 0
-        and w >= 16
-        and _pick_h_tile(h, w, c_in, c_out, kh, False) is not None
+        and _pick_h_tile(h, w, c_in, c_out, kh, False, 4) is not None
     )
 
 
@@ -144,30 +145,36 @@ def _conv_kernel(k, h_tile, w, c_in, c_out, neg_slope, has_res, out_dtype,
 
 
 def conv2d_nhwc_pallas(x, w, b=None, *, activation=None, residual=None,
-                       out_dtype=None, h_tile=None, interpret=False):
+                       out_dtype=None, h_tile=None, interpret=False,
+                       compute_dtype=jnp.bfloat16):
     """Stride-1 'same' KxK conv over NHWC via the hand-tiled MXU kernel.
 
-    x: [N, H, W, C_in] (any float dtype; computed in bf16, f32 accumulate)
+    x: [N, H, W, C_in] (any float dtype; computed in ``compute_dtype``,
+       f32 accumulate)
     w: [K, K, C_in, C_out] HWIO
     b: [C_out] or None
     activation: None | "leaky_relu" (slope 0.01) — fused into the epilogue
     residual: [N, H, W, C_out] or None — fused add after activation
-    out_dtype: result dtype (default bf16)
+    out_dtype: result dtype (default = compute_dtype)
+    compute_dtype: bf16 (fast transforms) or f32 (the fenced entropy-
+       parameter chain, where the kernel's cross-program bitwise
+       reproducibility is the point)
     """
     n, h, width, c_in = x.shape
     k, k2, wc_in, c_out = w.shape
     assert k == k2 and wc_in == c_in, (x.shape, w.shape)
     p = k // 2
-    out_dtype = out_dtype or jnp.bfloat16
+    out_dtype = out_dtype or compute_dtype
     has_res = residual is not None
+    esize = jnp.dtype(compute_dtype).itemsize
 
     if h_tile is None:
-        h_tile = _pick_h_tile(h, width, c_in, c_out, k, has_res)
+        h_tile = _pick_h_tile(h, width, c_in, c_out, k, has_res, esize)
     assert h_tile is not None and h % h_tile == 0, (h, h_tile)
 
-    x_pad = jnp.pad(x.astype(jnp.bfloat16),
+    x_pad = jnp.pad(x.astype(compute_dtype),
                     ((0, 0), (p, p), (p, p), (0, 0)))
-    w_flat = w.astype(jnp.bfloat16).reshape(k * k, c_in, c_out)
+    w_flat = w.astype(compute_dtype).reshape(k * k, c_in, c_out)
     bias = (jnp.zeros((c_out,), jnp.float32) if b is None
             else b.astype(jnp.float32)).reshape(1, c_out)
     neg_slope = {"leaky_relu": 0.01, None: None}[activation]
@@ -203,14 +210,14 @@ def conv2d_nhwc_pallas(x, w, b=None, *, activation=None, residual=None,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, width, c_out), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((k, hw, width, c_in), jnp.bfloat16),
+            pltpu.VMEM((k, hw, width, c_in), compute_dtype),
             pltpu.VMEM((h_tile * width, c_out), jnp.float32),
             pltpu.SemaphoreType.DMA((k,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x_pad.size * 2 + w_flat.size * 2
-            + n * h * width * c_out * 2,
+            bytes_accessed=x_pad.size * esize + w_flat.size * esize
+            + n * h * width * c_out * esize,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -70,6 +70,21 @@ class TestPallasConv:
             assert pallas_conv_enabled()
         assert not pallas_conv_enabled()
 
+    def test_f32_compute(self):
+        """f32 compute mode (the fenced entropy-parameter chain) matches
+        an f32 XLA conv to f32 precision, including W=8 (z-res tensors)."""
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(1, 8, 8, 96).astype("float32"))
+        wt = jnp.asarray((rs.randn(3, 3, 96, 64) * 0.05).astype("float32"))
+        b = jnp.asarray(rs.randn(64).astype("float32"))
+        y = conv2d_nhwc_pallas(x, wt, b, interpret=True,
+                               compute_dtype=jnp.float32)
+        yr = jax.lax.conv_general_dilated(
+            x, wt, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        rel = float(jnp.max(jnp.abs(y - yr))) / float(jnp.max(jnp.abs(yr)))
+        assert rel < 1e-5, rel
+
     def test_deterministic(self):
         """Two invocations produce bitwise-identical outputs (the property
         the canonical-rows design leans on)."""
