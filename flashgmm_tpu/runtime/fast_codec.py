@@ -73,6 +73,43 @@ def apply_transform(mod, x, bf16: bool):
     return nnx.merge(gd, st)(x.astype(jnp.bfloat16)).astype(jnp.float32)
 
 
+def conv_backend_ctx(codec):
+    """Context for tracing a codec's jit programs: route eligible convs
+    through the hand-tiled Pallas kernel (ops/pallas_conv.py).
+
+    On by default on TPU, single-device (FLASHGMM_PALLAS_CONV=0 restores
+    XLA convs). Besides the ~2x MFU win on g_a/g_s, a Mosaic kernel
+    compiles to the same binary in every enclosing program — so the
+    CDF->rows conv chain (h_s, context prediction, entropy parameters)
+    produces bitwise-identical rows in the encode, decode, latency, and
+    certification programs, removing the cross-program fusion hazard
+    (VERDICT r4 item 2). Under a mesh the XLA convs stay (a Pallas custom
+    call does not auto-partition under pjit)."""
+    import os
+
+    from flashgmm_tpu.ops.pallas_conv import use_pallas_conv
+
+    on = (
+        os.environ.get("FLASHGMM_PALLAS_CONV", "1") == "1"
+        and jax.default_backend() == "tpu"
+        and getattr(codec, "data_sharding", None) is None
+    )
+    return use_pallas_conv(on)
+
+
+def conv_ctx_wrap(codec, impl):
+    """Wrap a codec jit-impl so it traces under the codec's conv-backend
+    context (see conv_backend_ctx)."""
+    import functools
+
+    @functools.wraps(impl)
+    def wrapped(*a, **k):
+        with conv_backend_ctx(codec):
+            return impl(*a, **k)
+
+    return wrapped
+
+
 def _encode_pass(values, start, freq, w: int, cap_divisor: int = 4,
                  pallas: bool = False):
     """Encode one symbol stream; the returned buffer is statically capped at
@@ -177,18 +214,22 @@ class FastCheckerboardGmmCodec:
         self.mode = get_approx_mode()
         self._graphdef, self._state = nnx.split(model)
 
-        self._analyze_jit = jax.jit(self._analyze_impl, static_argnums=(2,))
-        self._side_jit = jax.jit(self._side_impl)
-        self._rows0_jit = jax.jit(self._rows0_impl)
-        self._rows1_jit = jax.jit(self._rows1_impl)
+        # multi-device batch coding: explicit sharding pinned at every
+        # program boundary (see use_mesh); set before the jits so the
+        # conv-backend gate can read it at trace time
+        self.data_sharding = None
+
+        wrap = lambda impl: conv_ctx_wrap(self, impl)
+        self._analyze_jit = jax.jit(wrap(self._analyze_impl),
+                                    static_argnums=(2,))
+        self._side_jit = jax.jit(wrap(self._side_impl))
+        self._rows0_jit = jax.jit(wrap(self._rows0_impl))
+        self._rows1_jit = jax.jit(wrap(self._rows1_impl))
         self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
         self._decpass_jit = jax.jit(self._decpass_impl)
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
         self._embed_jit = jax.jit(self._embed_impl)
-        self._gs_jit = jax.jit(self._gs_impl)
-        # multi-device batch coding: explicit sharding pinned at every
-        # program boundary (see use_mesh)
-        self.data_sharding = None
+        self._gs_jit = jax.jit(wrap(self._gs_impl))
 
     def use_mesh(self, mesh, axis: str = "data"):
         """Pin the codec to a device mesh for batch-data-parallel coding.

@@ -50,16 +50,21 @@ class FastElicGmmCodec:
         self._graphdef, self._state = nnx.split(model)
         self.data_sharding = None
 
-        self._analyze_jit = jax.jit(self._analyze_impl, static_argnums=(2,))
-        self._side_jit = jax.jit(self._side_impl)
+        from flashgmm_tpu.runtime.fast_codec import conv_ctx_wrap
+
+        wrap = lambda impl: conv_ctx_wrap(self, impl)
+        self._analyze_jit = jax.jit(wrap(self._analyze_impl),
+                                    static_argnums=(2,))
+        self._side_jit = jax.jit(wrap(self._side_impl))
         # k is static: selects the per-group modules
-        self._ctxparams_jit = jax.jit(self._ctxparams_impl, static_argnums=(3,))
+        self._ctxparams_jit = jax.jit(wrap(self._ctxparams_impl),
+                                      static_argnums=(3,))
         # bound method: args are (state, params_k, sym0, k, i) -> k, i static
-        self._rows_jit = jax.jit(self._rows_impl, static_argnums=(3, 4))
+        self._rows_jit = jax.jit(wrap(self._rows_impl), static_argnums=(3, 4))
         self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
         self._decpass_jit = jax.jit(self._decpass_impl)
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
-        self._gs_jit = jax.jit(self._gs_impl)
+        self._gs_jit = jax.jit(wrap(self._gs_impl))
 
     # -- plumbing --------------------------------------------------------------
 

@@ -46,6 +46,7 @@ from .fast_codec import (
     _decode_pass,
     _encode_pass,
     apply_transform,
+    conv_ctx_wrap,
 )
 
 
@@ -88,9 +89,12 @@ class FastLatencyGmmCodec:
         self._graphdef, self._state = nnx.split(model)
         self._fallback = fallback  # FastCheckerboardGmmCodec or None
 
-        self._encode_jit = jax.jit(self._encode_impl, static_argnums=(2,))
-        self._decode_y_jit = jax.jit(self._decode_y_impl, static_argnums=(2,))
-        self._gs_jit = jax.jit(self._gs_impl)
+        wrap = lambda impl: conv_ctx_wrap(self, impl)
+        self._encode_jit = jax.jit(wrap(self._encode_impl),
+                                   static_argnums=(2,))
+        self._decode_y_jit = jax.jit(wrap(self._decode_y_impl),
+                                     static_argnums=(2,))
+        self._gs_jit = jax.jit(wrap(self._gs_impl))
         # trivial integer-equality reduction; its own (fusion-insensitive)
         # program so certification can reuse _decode_y_jit itself
         self._cmp_jit = jax.jit(lambda a, b: jnp.all(a == b))

@@ -54,9 +54,12 @@ class FastLatencyElicCodec(FastElicGmmCodec):
         self._fallback = fallback  # FastElicGmmCodec or None
         self._fallback_digests = set()
         self._n_z_channels = self._z_channels()
-        self._enc_full_jit = jax.jit(self._encode_full_impl,
+        from .fast_codec import conv_ctx_wrap
+
+        wrap = lambda impl: conv_ctx_wrap(self, impl)
+        self._enc_full_jit = jax.jit(wrap(self._encode_full_impl),
                                      static_argnums=(2,))
-        self._dec_full_jit = jax.jit(self._decode_full_impl,
+        self._dec_full_jit = jax.jit(wrap(self._decode_full_impl),
                                      static_argnums=(2,))
         self._cmp_jit = jax.jit(lambda a, b: jnp.all(a == b))
 
