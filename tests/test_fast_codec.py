@@ -155,7 +155,13 @@ class TestLatencyCodec:
         x = jnp.asarray(
             np.random.RandomState(9).rand(1, 64, 64, 3).astype(np.float32)
         )
-        data, y_shape = codec.encode_certified(x)
+        # must certify on the fused path (no silent composable fallback)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            data, y_shape = codec.encode_certified(x)
+        assert not codec._fallback_digests
         rec = codec.decode(data, y_shape)
         assert rec.shape == x.shape
         # decoding twice is deterministic
