@@ -1,13 +1,18 @@
-"""File-format codec CLI: encode images to self-contained .fgm files.
+"""File-format codec CLI: encode images/videos to self-contained files.
 
-Equivalent of the reference's examples/codec.py (header layout
-:148-199): a small header (magic, model id, quality, original size)
-followed by the per-stream payloads.
+Equivalent of the reference's examples/codec.py: images mirror its header
+layout (:148-199); video encode/decode mirror its GOP loop (:255-455) for
+ssf2020 — keyframe + inter frames per GOP, raw .yuv input (or a directory
+of image frames), decoded frames written as PNGs.
 
 Usage:
     python examples/codec.py encode input.png -o out.fgm \
         -a cheng2020-anchor-checkerboard-gmm --weights ckpt
     python examples/codec.py decode out.fgm -o rec.png --weights ckpt
+    python examples/codec.py encode_video frames_dir/ -o out.fgmv \
+        --weights ssf.npz --gop 8
+    python examples/codec.py decode_video out.fgmv -o rec_dir/ \
+        --weights ssf.npz
 """
 
 import argparse
@@ -49,6 +54,12 @@ def _write_stream(f, s):
         arr = np.asarray(s).astype(np.int32)
         f.write(struct.pack("<BI", 3, arr.size))
         f.write(arr.tobytes())
+    elif isinstance(s, dict):  # ssf2020 inter frames: {"motion": ..., ...}
+        items = sorted(s.items())
+        f.write(struct.pack("<BI", 5, len(items)))
+        for k, v in items:
+            _write_stream(f, k)
+            _write_stream(f, v)
     else:
         raise TypeError(type(s))
 
@@ -71,7 +82,19 @@ def _read_stream(f):
     if tag == 4:
         (n,) = struct.unpack("<I", f.read(4))
         return f.read(n).decode()
+    if tag == 5:
+        (n,) = struct.unpack("<I", f.read(4))
+        return {_read_stream(f): _read_stream(f) for _ in range(n)}
     raise ValueError(tag)
+
+
+def _listify(s):
+    """Deep tuple->list (the models' decompress APIs take lists)."""
+    if isinstance(s, (list, tuple)):
+        return [_listify(e) for e in s]
+    if isinstance(s, dict):
+        return {k: _listify(v) for k, v in s.items()}
+    return s
 
 
 def setup_args(argv):
@@ -89,6 +112,20 @@ def setup_args(argv):
     d.add_argument("input")
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--weights", type=str)
+
+    ev = sub.add_parser("encode_video")
+    ev.add_argument("input", help=".yuv raw video or a directory of frames")
+    ev.add_argument("-o", "--output", required=True)
+    ev.add_argument("-q", "--quality", type=int, default=5)
+    ev.add_argument("--weights", type=str)
+    ev.add_argument("--frames", type=int, default=0, help="0 = all")
+    ev.add_argument("--gop", type=int, default=8)
+
+    dv = sub.add_parser("decode_video")
+    dv.add_argument("input")
+    dv.add_argument("-o", "--output", required=True,
+                    help="output directory for decoded PNG frames")
+    dv.add_argument("--weights", type=str)
     return p.parse_args(argv)
 
 
@@ -172,12 +209,110 @@ def decode(args):
     print(f"decoded {args.input} -> {args.output} ({h}x{w})")
 
 
+MAGIC_V = b"FGMV"
+
+
+def _load_video_frames(path, max_frames=0):
+    """.yuv file (RawVideoSequence) or a directory of image frames ->
+    list of [1, H, W, 3] float RGB arrays."""
+    import jax.numpy as jnp
+
+    p = Path(path)
+    frames = []
+    if p.is_dir():
+        from flashgmm_tpu.datasets.image import IMG_EXTENSIONS, load_image
+
+        files = sorted(f for f in p.iterdir()
+                       if f.suffix.lower() in IMG_EXTENSIONS)
+        if max_frames:
+            files = files[:max_frames]
+        for f in files:
+            frames.append(jnp.asarray(load_image(f))[None])
+    else:
+        from flashgmm_tpu.datasets.rawvideo import RawVideoSequence
+        from flashgmm_tpu.transforms import ycbcr2rgb, yuv_420_to_444
+
+        seq = RawVideoSequence(p)
+        n = len(seq) if not max_frames else min(max_frames, len(seq))
+        for i in range(n):
+            y, u, v = seq.to_float(seq[i])
+            yuv = yuv_420_to_444(
+                (jnp.asarray(y)[None, :, :, None],
+                 jnp.asarray(u)[None, :, :, None],
+                 jnp.asarray(v)[None, :, :, None]))
+            frames.append(jnp.clip(ycbcr2rgb(yuv), 0, 1))
+    if not frames:
+        raise SystemExit(f"no frames found in {path}")
+    return frames
+
+
+def _make_video_model(quality, weights):
+    from flashgmm_tpu.zoo import create_model
+
+    model = create_model("ssf2020", quality, weights_path=weights)
+    model.update(force=True, update_quantiles=weights is None)
+    return model
+
+
+def encode_video(args):
+    from flashgmm_tpu.ops import compute_padding, pad_image
+
+    frames = _load_video_frames(args.input, args.frames)
+    h, w = frames[0].shape[1:3]
+    pad, _ = compute_padding(h, w, min_div=128)
+    frames = [pad_image(f, pad) for f in frames]
+    model = _make_video_model(args.quality, args.weights)
+
+    with open(args.output, "wb") as f:
+        f.write(MAGIC_V)
+        f.write(struct.pack("<BHHIB", args.quality, h, w, len(frames),
+                            args.gop))
+        for g0 in range(0, len(frames), args.gop):
+            gop = frames[g0:g0 + args.gop]
+            strings, shapes = model.compress(gop)
+            _write_stream(f, ["SHAPES", _shape_to_list(tuple(shapes))])
+            _write_stream(f, list(strings))
+    nbytes = Path(args.output).stat().st_size
+    print(f"{args.output}: {nbytes} bytes "
+          f"({nbytes * 8 / (h * w * len(frames)):.4f} bpp/frame)")
+
+
+def decode_video(args):
+    from flashgmm_tpu.datasets.image import save_image
+    from flashgmm_tpu.ops import compute_padding, unpad_image
+
+    with open(args.input, "rb") as f:
+        assert f.read(4) == MAGIC_V, "not a FGMV file"
+        quality, h, w, n_frames, gop = struct.unpack("<BHHIB", f.read(10))
+        model = _make_video_model(quality, args.weights)
+        outdir = Path(args.output)
+        outdir.mkdir(parents=True, exist_ok=True)
+        _, unpad = compute_padding(h, w, min_div=128)
+        idx = 0
+        while idx < n_frames:
+            shapes_lst = _read_stream(f)
+            assert shapes_lst[0] == "SHAPES"
+            shapes = list(_shape_from_list(shapes_lst[1]))
+            strings = _listify(_read_stream(f))
+            rec = model.decompress(strings, shapes)
+            for fr in rec:
+                fr = unpad_image(fr, unpad)
+                save_image(outdir / f"frame_{idx:05d}.png",
+                           np.asarray(fr[0]))
+                idx += 1
+    print(f"decoded {args.input} -> {args.output} ({idx} frames {h}x{w})")
+
+
 def main(argv=None):
     args = setup_args(argv)
     if args.command == "encode":
         encode(args)
-    else:
+    elif args.command == "decode":
         decode(args)
+    elif args.command == "encode_video":
+        encode_video(args)
+    else:
+        decode_video(args)
     return 0
 
 

@@ -51,6 +51,36 @@ def save_checkpoint(path, model, opt_net=None, opt_aux=None, meta=None):
             json.dump(meta, f)
 
 
+def _adopt_saved_shapes(path, ckptr, tree):
+    """Template for restore: the model's own state, except zero-size
+    buffers (unmaterialized CDF tables in a freshly-built model) take
+    their shape/dtype from the checkpoint — so tables materialized by
+    ``model.update()`` + the update_model CLI survive a fresh-process
+    load instead of being silently dropped (the reference ships its zoo
+    checkpoints with tables materialized the same way)."""
+    try:
+        saved = ckptr.metadata(path).item_metadata.tree
+    except Exception:
+        return _strip_empty(tree)
+
+    def pick(keypath, t):
+        if not (hasattr(t, "size") and t.size == 0):
+            return t
+        node = saved
+        try:
+            for k in keypath:
+                node = node[getattr(k, "key", k)]
+        except (KeyError, TypeError):
+            return None  # not in checkpoint either: drop as before
+        if node is None or not hasattr(node, "shape"):
+            return None
+        import numpy as np
+
+        return jax.ShapeDtypeStruct(tuple(node.shape), np.dtype(node.dtype))
+
+    return jax.tree_util.tree_map_with_path(pick, tree)
+
+
 def load_checkpoint(path, model, opt_net=None, opt_aux=None):
     """Restore in place; returns the meta dict (possibly empty)."""
     path = Path(path).absolute()
@@ -61,7 +91,7 @@ def load_checkpoint(path, model, opt_net=None, opt_aux=None):
         tree["opt_net"] = nnx.to_pure_dict(nnx.state(opt_net))
     if opt_aux is not None:
         tree["opt_aux"] = nnx.to_pure_dict(nnx.state(opt_aux))
-    restored = ckptr.restore(path, _strip_empty(tree))
+    restored = ckptr.restore(path, _adopt_saved_shapes(path, ckptr, tree))
     restored = _merge_restored(tree, restored)
 
     state = nnx.state(model)
