@@ -36,8 +36,9 @@ p.add_argument("--bs", type=int, default=16)
 p.add_argument("--lmbda", type=float, default=600.0)
 p.add_argument("--lr", type=float, default=1e-3)
 p.add_argument("--cpu", action="store_true")
-p.add_argument("--out", default="weights/pcc_pointnet_synthetic.npz")
-p.add_argument("--json", default="results/synthetic/pointcloud_pointnet.json")
+p.add_argument("--arch", default="pointnet", choices=["pointnet", "hrtzxf"])
+p.add_argument("--out", default=None)
+p.add_argument("--json", default=None)
 args = p.parse_args()
 
 if args.cpu:
@@ -85,8 +86,21 @@ def batch_of(rs, b, n):
         np.stack([synth_cloud(rs, n) for _ in range(b)]).astype(np.float32))
 
 
-model = PointNetReconstructionPccModel(
-    num_points=args.num_points, latent_dim=args.latent, rngs=nnx.Rngs(0))
+if args.arch == "hrtzxf":
+    from flashgmm_tpu.models.pointcloud.hrtzxf2022 import (
+        DensityPreservingReconstructionPccModel,
+    )
+
+    model = DensityPreservingReconstructionPccModel(rngs=nnx.Rngs(0))
+    loss_type = "hrtzxf2022"
+    args.out = args.out or "weights/pcc_hrtzxf2022_synthetic.npz"
+    args.json = args.json or "results/synthetic/pointcloud_hrtzxf2022.json"
+else:
+    model = PointNetReconstructionPccModel(
+        num_points=args.num_points, latent_dim=args.latent, rngs=nnx.Rngs(0))
+    loss_type = "chamfer"
+    args.out = args.out or "weights/pcc_pointnet_synthetic.npz"
+    args.json = args.json or "results/synthetic/pointcloud_pointnet.json"
 opt_net, opt_aux = make_train_state(model, args.lr, 1e-3)
 
 rs = np.random.RandomState(0)
@@ -96,7 +110,7 @@ for i in range(args.steps):
     key, sub = jax.random.split(key)
     pts = batch_of(rs, args.bs, args.num_points)
     out = pointcloud_train_step(model, opt_net, opt_aux, pts, sub,
-                                loss_type="chamfer", lmbda=args.lmbda)
+                                loss_type=loss_type, lmbda=args.lmbda)
     if i % 50 == 0:
         print(json.dumps({
             "step": i, "loss": round(float(out["loss"]), 4),
@@ -115,19 +129,37 @@ for i in range(8):
     pts = batch_of(rs_eval, 1, args.num_points)
     c = model.compress(pts)
     r = model.decompress(c["strings"], c["shape"])
-    nbits = sum(len(b) for ss in c["strings"] for b in ss) * 8
+    def _nbits(o):
+        if isinstance(o, (bytes, bytearray)):
+            return len(o) * 8
+        try:
+            return sum(_nbits(e) for e in o)
+        except TypeError:
+            return 0
+
+    nbits = _nbits(c["strings"])
     bpps.append(nbits / args.num_points)
     chamfers.append(float(chamfer_distance(r["x_hat"], pts)))
     print(f"cloud {i}: {bpps[-1]:.2f} bits/point  chamfer {chamfers[-1]:.6f}",
           flush=True)
 
-out = {
-    "name": "flashgmm_tpu-sfu-pcc-rec-pointnet",
-    "description": (
+names = {"pointnet": "flashgmm_tpu-sfu-pcc-rec-pointnet",
+         "hrtzxf": "flashgmm_tpu-hrtzxf2022-pcc-rec"}
+descs = {
+    "pointnet": (
         f"PointNet PCC codec (latent={args.latent}) trained {args.steps} "
         "steps on synthetic shape surfaces (sphere/box/cylinder); held-out "
         "eval through the REAL EntropyBottleneck codec; "
         f"{args.num_points} points/cloud"),
+    "hrtzxf": (
+        "Density-preserving D-PCC codec (hrtzxf2022, 3x downsample stages) "
+        f"trained {args.steps} steps on synthetic shape surfaces; held-out "
+        "eval through the REAL codec (feat EB stream + learned latent-xyz "
+        f"stream); {args.num_points} points/cloud"),
+}
+out = {
+    "name": names[args.arch],
+    "description": descs[args.arch],
     "results": {
         "chamfer": [float(np.mean(chamfers))],
         "bits-per-point": [float(np.mean(bpps))],
