@@ -73,7 +73,7 @@ def apply_transform(mod, x, bf16: bool):
     return nnx.merge(gd, st)(x.astype(jnp.bfloat16)).astype(jnp.float32)
 
 
-def conv_backend_ctx(codec):
+def conv_backend_ctx(codec, canonical=False):
     """Context for tracing a codec's jit programs: route eligible convs
     through the hand-tiled Pallas kernel (ops/pallas_conv.py).
 
@@ -83,28 +83,36 @@ def conv_backend_ctx(codec):
     CDF->rows conv chain (h_s, context prediction, entropy parameters)
     produces bitwise-identical rows in the encode, decode, latency, and
     certification programs, removing the cross-program fusion hazard
-    (VERDICT r4 item 2). Under a mesh the XLA convs stay (a Pallas custom
-    call does not auto-partition under pjit)."""
+    (VERDICT r4 item 2).
+
+    Under a mesh the transform stages keep XLA convs (a Pallas custom
+    call does not auto-partition under pjit) — but ``canonical=True``
+    stages (the side/rows chain) still take the kernel in portable-mesh
+    mode, because there they trace for single-device inputs and must
+    dispatch the SAME executables as unsharded codecs (byte
+    portability)."""
     import os
 
     from flashgmm_tpu.ops.pallas_conv import use_pallas_conv
 
+    meshless = getattr(codec, "data_sharding", None) is None
     on = (
         os.environ.get("FLASHGMM_PALLAS_CONV", "1") == "1"
         and jax.default_backend() == "tpu"
-        and getattr(codec, "data_sharding", None) is None
+        and (meshless
+             or (canonical and getattr(codec, "mesh_portable", True)))
     )
     return use_pallas_conv(on)
 
 
-def conv_ctx_wrap(codec, impl):
+def conv_ctx_wrap(codec, impl, canonical=False):
     """Wrap a codec jit-impl so it traces under the codec's conv-backend
     context (see conv_backend_ctx)."""
     import functools
 
     @functools.wraps(impl)
     def wrapped(*a, **k):
-        with conv_backend_ctx(codec):
+        with conv_backend_ctx(codec, canonical):
             return impl(*a, **k)
 
     return wrapped
@@ -220,34 +228,38 @@ class FastCheckerboardGmmCodec:
         self.data_sharding = None
 
         wrap = lambda impl: conv_ctx_wrap(self, impl)
+        canon = lambda impl: conv_ctx_wrap(self, impl, canonical=True)
         self._analyze_jit = jax.jit(wrap(self._analyze_impl),
                                     static_argnums=(2,))
-        self._side_jit = jax.jit(wrap(self._side_impl))
-        self._rows0_jit = jax.jit(wrap(self._rows0_impl))
-        self._rows1_jit = jax.jit(wrap(self._rows1_impl))
+        self._side_jit = jax.jit(canon(self._side_impl))
+        self._rows0_jit = jax.jit(canon(self._rows0_impl))
+        self._rows1_jit = jax.jit(canon(self._rows1_impl))
         self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
         self._decpass_jit = jax.jit(self._decpass_impl)
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
         self._embed_jit = jax.jit(self._embed_impl)
         self._gs_jit = jax.jit(wrap(self._gs_impl))
 
-    def use_mesh(self, mesh, axis: str = "data"):
+    def use_mesh(self, mesh, axis: str = "data", portable: bool = True):
         """Pin the codec to a device mesh for batch-data-parallel coding.
 
-        The shared-executable bit-exactness contract (class docstring)
-        extends to SPMD: a jit program recompiled for *sharded* inputs is a
-        DIFFERENT executable whose conv/CDF float rounding may differ at
-        the ULP level, so a stream encoded with sharded inputs only decodes
-        through rows programs compiled with the SAME input shardings. This
-        method pins the boundary tensors (input image, decoded z symbols,
-        anchor symbols) to an explicit batch sharding on BOTH the encode
-        and decode paths, so both directions dispatch to the same SPMD
-        executables. Call with ``mesh=None`` to return to single-device.
+        ``portable=True`` (default): the heavy transforms (g_a/h_a/g_s)
+        run sharded over the mesh, but every stage whose float math
+        determines stream bytes — h_s, context, entropy parameters, CDF
+        rows, and the rANS scans — runs on the CANONICAL single-device
+        executables (boundary tensors are integer symbols, so gathering
+        them to one device is lossless). Streams are therefore
+        byte-portable across topologies: a stream encoded unsharded
+        decodes exactly on any mesh and vice versa (VERDICT r4 item 2b).
+        The rows stages are thin next to the transforms, so the perf cost
+        is small.
 
-        Streams produced under a mesh are self-consistent (exact y_hat
-        round-trip on the same topology) but are NOT guaranteed byte-equal
-        to single-device streams; topology-portable bitstreams are the
-        reference-format path's job (entropy_models compress/decompress).
+        ``portable=False`` restores the round-4 all-SPMD mode: every
+        stage compiles for sharded inputs and both directions dispatch to
+        identical SPMD executables — self-consistent on the SAME topology
+        (exact y_hat round-trip) but streams are tied to that topology.
+
+        Call with ``mesh=None`` to return to single-device.
         """
         if mesh is None:
             self.data_sharding = None
@@ -255,11 +267,23 @@ class FastCheckerboardGmmCodec:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.data_sharding = NamedSharding(mesh, P(axis, None, None, None))
+        self.mesh_portable = bool(portable)
         return self
 
     def _maybe_shard(self, a):
         if self.data_sharding is None:
             return a
+        return jax.device_put(a, self.data_sharding)
+
+    def _canon(self, a):
+        """Place a coding-boundary tensor for the rows/scan stages: on the
+        canonical single device in portable mode (dispatching the SAME
+        executables as unsharded codecs — byte portability), or sharded in
+        the round-4 all-SPMD mode."""
+        if self.data_sharding is None:
+            return a
+        if getattr(self, "mesh_portable", True):
+            return jax.device_put(a, self.data_sharding.mesh.devices.flat[0])
         return jax.device_put(a, self.data_sharding)
 
     # -- shared pieces -------------------------------------------------------
@@ -456,8 +480,9 @@ class FastCheckerboardGmmCodec:
         x = self._maybe_shard(x)
         ps_z, z_bin, sym0, sym1, y_hat = self._analyze_jit(self._state, x, cd)
         _prefetch(ps_z)
-        z_bin = self._maybe_shard(z_bin)
-        sym0 = self._maybe_shard(sym0)
+        z_bin = self._canon(z_bin)
+        sym0 = self._canon(sym0)
+        sym1 = self._canon(sym1)
         side = self._side_jit(self._state, z_bin)
         rows0 = self._rows0_jit(self._state, side[0])
         ps0 = _prefetch(self._encpass_jit(rows0, sym0.reshape(-1), cd))
@@ -476,12 +501,12 @@ class FastCheckerboardGmmCodec:
     def _decode_y(self, streams, y_shape):
         ps_z, ps0, ps1 = streams["z"], streams["y0"], streams["y1"]
         b, h, w, c = self._y_shape_parts(y_shape)
-        z_bin = self._maybe_shard(self._zdec_jit(
+        z_bin = self._canon(self._zdec_jit(
             self._state, ps_z, (b, h // 4, w // 4, self._z_channels())
         ))
         side = self._side_jit(self._state, z_bin)
         rows0 = self._rows0_jit(self._state, side[0])
-        sym0 = self._maybe_shard(
+        sym0 = self._canon(
             self._decpass_jit(rows0, ps0).reshape(b, h, w // 2, c))
         rows1 = self._rows1_jit(self._state, side[1], sym0)
         sym1 = self._decpass_jit(rows1, ps1).reshape(b, h, w // 2, c)
@@ -491,7 +516,7 @@ class FastCheckerboardGmmCodec:
         return y_hat
 
     def decode(self, out_or_streams, y_shape):
-        y_hat = self._decode_y(out_or_streams, y_shape)
+        y_hat = self._maybe_shard(self._decode_y(out_or_streams, y_shape))
         return self._gs_jit(self._state, y_hat)
 
     def decode_y_hat(self, out_or_streams, y_shape):

@@ -53,14 +53,16 @@ class FastElicGmmCodec:
         from flashgmm_tpu.runtime.fast_codec import conv_ctx_wrap
 
         wrap = lambda impl: conv_ctx_wrap(self, impl)
+        canon = lambda impl: conv_ctx_wrap(self, impl, canonical=True)
         self._analyze_jit = jax.jit(wrap(self._analyze_impl),
                                     static_argnums=(2,))
-        self._side_jit = jax.jit(wrap(self._side_impl))
+        self._side_jit = jax.jit(canon(self._side_impl))
         # k is static: selects the per-group modules
-        self._ctxparams_jit = jax.jit(wrap(self._ctxparams_impl),
+        self._ctxparams_jit = jax.jit(canon(self._ctxparams_impl),
                                       static_argnums=(3,))
         # bound method: args are (state, params_k, sym0, k, i) -> k, i static
-        self._rows_jit = jax.jit(wrap(self._rows_impl), static_argnums=(3, 4))
+        self._rows_jit = jax.jit(canon(self._rows_impl),
+                                 static_argnums=(3, 4))
         self._encpass_jit = jax.jit(self._encpass_impl, static_argnums=(2,))
         self._decpass_jit = jax.jit(self._decpass_impl)
         self._zdec_jit = jax.jit(self._zdec_impl, static_argnums=(2,))
@@ -253,17 +255,20 @@ class FastElicGmmCodec:
 
     # -- orchestration -----------------------------------------------------------
 
-    def use_mesh(self, mesh, axis: str = "data"):
+    def use_mesh(self, mesh, axis: str = "data", portable: bool = True):
         """Pin batch-data-parallel coding to a mesh; see
-        FastCheckerboardGmmCodec.use_mesh for the SPMD bit-exactness
-        contract (same design: boundary tensors explicitly sharded so the
-        encode and decode directions dispatch to identical executables)."""
+        FastCheckerboardGmmCodec.use_mesh for the contract. Portable mode
+        (default) runs the side/ctx/rows/scan stages on the canonical
+        single-device executables so SCCTX streams are byte-portable
+        across topologies; ``portable=False`` restores the round-4
+        all-SPMD mode."""
         if mesh is None:
             self.data_sharding = None
             return self
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.data_sharding = NamedSharding(mesh, P(axis, None, None, None))
+        self.mesh_portable = bool(portable)
         return self
 
     def _maybe_shard(self, a):
@@ -271,12 +276,20 @@ class FastElicGmmCodec:
             return a
         return jax.device_put(a, self.data_sharding)
 
+    def _canon(self, a):
+        """See FastCheckerboardGmmCodec._canon."""
+        if self.data_sharding is None:
+            return a
+        if getattr(self, "mesh_portable", True):
+            return jax.device_put(a, self.data_sharding.mesh.devices.flat[0])
+        return jax.device_put(a, self.data_sharding)
+
     def encode(self, x, full: bool = False):
         cd = 1 if full else self.cap_divisor
         x = self._maybe_shard(x)
         ps_z, z_bin, syms = self._analyze_jit(self._state, x, cd)
-        z_bin = self._maybe_shard(z_bin)
-        syms = tuple(self._maybe_shard(s) for s in syms)
+        z_bin = self._canon(z_bin)
+        syms = tuple(self._canon(s) for s in syms)
         side_all = self._side_jit(self._state, z_bin)
         streams = [ps_z]
         for k in range(len(self.groups)):
@@ -297,7 +310,7 @@ class FastElicGmmCodec:
         else:
             h, w, c = shape
             b = 1
-        z_bin = self._maybe_shard(self._zdec_jit(
+        z_bin = self._canon(self._zdec_jit(
             self._state, streams[0], (b, h // 4, w // 4, self._z_channels())
         ))
         side_all = self._side_jit(self._state, z_bin)
@@ -310,14 +323,14 @@ class FastElicGmmCodec:
             )
             rows0 = self._rows_jit(
                 self._state, params_k,
-                self._maybe_shard(jnp.zeros((b, h, w // 2, gk), jnp.int32)),
+                self._canon(jnp.zeros((b, h, w // 2, gk), jnp.int32)),
                 k, 0
             )
-            sym0 = self._maybe_shard(
+            sym0 = self._canon(
                 self._decpass_jit(rows0, streams[si]).reshape(b, h, w // 2, gk))
             si += 1
             rows1 = self._rows_jit(self._state, params_k, sym0, k, 1)
-            sym1 = self._maybe_shard(
+            sym1 = self._canon(
                 self._decpass_jit(rows1, streams[si]).reshape(b, h, w // 2, gk))
             si += 1
             syms += [sym0, sym1]
@@ -327,7 +340,8 @@ class FastElicGmmCodec:
         return self._decode_y(tuple(streams), tuple(y_shape))
 
     def decode(self, streams, y_shape):
-        y_hat = self._decode_y(tuple(streams), tuple(y_shape))
+        y_hat = self._maybe_shard(self._decode_y(tuple(streams),
+                                                 tuple(y_shape)))
         return self._gs_jit(self._state, y_hat)
 
     # -- serialization -------------------------------------------------------------
