@@ -76,6 +76,28 @@ def main():
         print(f"pallas lanes=512 seed {seed}: exact={ok}", flush=True)
         failures += not ok
 
+    # Latency codec: with the Pallas conv backend pinning the whole
+    # CDF->rows chain (ops/pallas_conv.py, VERDICT r4 item 2), the fused
+    # encode and decode programs must now produce identical rows — so
+    # certification must pass direct (no composable fallback), INCLUDING
+    # with the Pallas decode kernel at lanes=512 (previously banned:
+    # swapping the decode backend perturbed XLA's fusion of the rows
+    # pipeline).
+    from flashgmm_tpu.runtime import FastLatencyGmmCodec
+
+    for pallas_dec in (False, True):
+        lat = FastLatencyGmmCodec(model, lanes=512, cap_divisor=4,
+                                  pallas_decode=pallas_dec)
+        x = jnp.asarray(textured_leaves(768, 512, seed=500001))[None]
+        enc = lat._encode_jit(lat._state, x, lat.cap_divisor)
+        ps, y_hat = enc[:3], enc[5]
+        ysh = (x.shape[0], y_hat.shape[1], y_hat.shape[2], y_hat.shape[3])
+        _, _, y_dec = lat._decode_y_jit(lat._state, ps, ysh)
+        ok = bool(lat._cmp_jit(y_dec, y_hat))
+        print(f"latency lanes=512 pallas_decode={pallas_dec}: "
+              f"certified={ok}", flush=True)
+        failures += not ok
+
     if failures:
         print(f"FAILED: {failures} mismatching round-trips")
         return 1
