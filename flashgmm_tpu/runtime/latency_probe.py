@@ -70,12 +70,15 @@ def measure_device_latency(lc, x, streams, y_shape, k1=2, k2=10, reps=4):
         y_shape: 4-tuple y latent shape.
     """
 
+    from .fast_codec import conv_backend_ctx
+
     @jax.jit
     def enc_run(state, x0, zero, k):
         def body(i, carry):
             xi, acc = carry
-            ps_z, ps0, ps1, s0, s1, y_hat = lc._encode_impl(
-                state, xi, lc.cap_divisor)
+            with conv_backend_ctx(lc):  # same conv backend as production
+                ps_z, ps0, ps1, s0, s1, y_hat = lc._encode_impl(
+                    state, xi, lc.cap_divisor)
             tag = (ps_z.n_words + ps0.n_words + ps1.n_words
                    + ps_z.stream[0].astype(jnp.int32)
                    + ps0.stream[0].astype(jnp.int32)
@@ -91,8 +94,9 @@ def measure_device_latency(lc, x, streams, y_shape, k1=2, k2=10, reps=4):
     def dec_run(state, streams, zero, k):
         def body(i, carry):
             st, acc = carry
-            sym0, sym1, y_hat = lc._decode_y_impl(state, st, y_shape)
-            x_hat = lc._gs_impl(state, y_hat)
+            with conv_backend_ctx(lc):
+                sym0, sym1, y_hat = lc._decode_y_impl(state, st, y_shape)
+                x_hat = lc._gs_impl(state, y_hat)
             tag = (jnp.sum(sym0[0, 0, :8]) +
                    (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
             z0 = st[0]
@@ -129,11 +133,15 @@ def measure_elic_device_latency(lc, x, streams, y_shape, k1=2, k2=8, reps=4):
     """
     y_shape = tuple(int(s) for s in y_shape)
 
+    from .fast_codec import conv_backend_ctx
+
     @jax.jit
     def enc_run(state, x0, zero, k):
         def body(i, carry):
             xi, acc = carry
-            strs, y_hat = lc._encode_full_impl(state, xi, lc.cap_divisor)
+            with conv_backend_ctx(lc):  # same conv backend as production
+                strs, y_hat = lc._encode_full_impl(state, xi,
+                                                   lc.cap_divisor)
             tag = jnp.sum(y_hat[0, 0, 0, :8]).astype(jnp.int32)
             for p in strs:
                 tag = tag + p.n_words + p.stream[0].astype(jnp.int32)
@@ -147,7 +155,8 @@ def measure_elic_device_latency(lc, x, streams, y_shape, k1=2, k2=8, reps=4):
     def dec_run(state, strs, zero, k):
         def body(i, carry):
             st, acc = carry
-            x_hat, y_hat = lc._decode_full_impl(state, st, y_shape)
+            with conv_backend_ctx(lc):
+                x_hat, y_hat = lc._decode_full_impl(state, st, y_shape)
             tag = (jnp.sum(y_hat[0, 0, 0, :8]).astype(jnp.int32)
                    + (x_hat[0, 0, 0, 0] > 2.0).astype(jnp.int32))
             z0 = st[0]
