@@ -3,13 +3,16 @@
 XLA:TPU's conv at 192 channels sits at ~29-34% MFU on the v5e
 (results/synthetic/MFU.md): 192 = 1.5 x 128 rides the MXU with a ragged
 half tile and the generic conv emitter adds its own overheads. This kernel
-restructures a stride-1 KxK NHWC conv as K column-shifted DMA windows and
-K*K accumulating (H_t*W, C) @ (C, C_out) matmuls per row-band:
+restructures a stride-1 KxK NHWC conv as one aligned HBM->VMEM DMA per
+row-band plus K*K accumulating (H_t*W, C) @ (C, C_out) matmuls:
 
-- the input stays in HBM; each grid step issues K async DMAs that land the
-  (H_t + K - 1, W, C) window *column-shifted by dx* into VMEM, so every
-  (dy, dx) tap is a contiguous row-slice matmul operand — no im2col, no
-  in-kernel shuffles;
+- channels are zero-padded to a 128-lane multiple at prep time (Mosaic
+  requires DMA slices tile-aligned on the minor dim; the zero weight rows
+  contribute nothing);
+- each grid step DMAs the full-width (H_t + K - 1) row window once, then
+  builds the K column-shifted copies VMEM-locally — every (dy, dx) tap is
+  then a contiguous row-slice matmul operand (no im2col, no strided
+  reshapes);
 - taps accumulate into one f32 VMEM scratch; bias / LeakyReLU / residual
   add fuse into the epilogue (bf16 out for chaining into the next layer).
 
@@ -31,7 +34,6 @@ tracing their inference programs).
 import contextlib
 import contextvars
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -57,20 +59,27 @@ def use_pallas_conv(enable: bool = True):
         _USE.reset(tok)
 
 
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
 def _vmem_bytes(h_tile, w, c_in, c_out, k, has_res, esize=2):
-    pad_lanes = lambda c: -(-c // 128) * 128
+    cp = _round_up(c_in, 128)
+    co = _round_up(c_out, 128)
     hw = h_tile + k - 1
-    b = k * hw * w * pad_lanes(c_in) * esize      # shifted windows
-    b += h_tile * w * pad_lanes(c_out) * 4        # f32 accumulator
-    b += k * k * pad_lanes(c_in) * pad_lanes(c_out) * esize  # weights
-    b += h_tile * w * pad_lanes(c_out) * esize    # out block
+    w_in = _round_up(w + k - 1, 8)
+    b = hw * w_in * cp * esize                    # raw window
+    b += k * hw * w * cp * esize                  # shifted windows
+    b += h_tile * w * co * 4                      # f32 accumulator
+    b += k * k * cp * co * esize                  # weights
+    b += 2 * h_tile * w * co * esize              # out block (double-buffered)
     if has_res:
-        b += h_tile * w * pad_lanes(c_out) * esize
+        b += 2 * h_tile * w * co * esize
     return b
 
 
 def _pick_h_tile(h, w, c_in, c_out, k, has_res, esize=2,
-                 budget=9 * 1024 * 1024):
+                 budget=10 * 1024 * 1024):
     for ht in (32, 16, 8, 4, 2, 1):
         if h % ht == 0 and _vmem_bytes(ht, w, c_in, c_out, k, has_res,
                                        esize) <= budget:
@@ -96,40 +105,34 @@ def conv2d_supported(x_shape, w_shape, stride) -> bool:
     )
 
 
-def _conv_kernel(k, h_tile, w, c_in, c_out, neg_slope, has_res, out_dtype,
+def _conv_kernel(k, h_tile, w, c_pad, c_out, neg_slope, has_res, out_dtype,
                  x_ref, w_ref, b_ref, *rest):
-    """One grid step: K DMAs land column-shifted windows, K*K taps
-    accumulate, epilogue applies bias (+ activation / residual)."""
+    """One grid step: one aligned DMA lands the row window, K VMEM-local
+    column shifts, K*K taps accumulate, epilogue applies bias
+    (+ activation / residual)."""
     if has_res:
-        res_ref, out_ref, win, acc, sems = rest
+        res_ref, out_ref, raw, win, acc, sem = rest
     else:
-        out_ref, win, acc, sems = rest
+        out_ref, raw, win, acc, sem = rest
     n = pl.program_id(0)
     i = pl.program_id(1)
-    r0 = i * h_tile
     hw = h_tile + k - 1
 
-    # K column-shifted copies of the (hw, w, c_in) input window: window j
-    # holds x_pad[n, r0 : r0 + hw, j : j + w, :], so tap (dy, dx) is the
-    # contiguous row-slice win[dx, dy : dy + h_tile] — a ready matmul
-    # operand with no in-kernel shuffling.
-    copies = [
-        pltpu.make_async_copy(
-            x_ref.at[n, pl.ds(r0, hw), pl.ds(j, w), :],
-            win.at[j],
-            sems.at[j],
-        )
-        for j in range(k)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    dma = pltpu.make_async_copy(
+        x_ref.at[n, pl.ds(i * h_tile, hw), :, :], raw, sem)
+    dma.start()
+    dma.wait()
+
+    # K column-shifted copies: window j holds raw[:, j : j + w, :], so tap
+    # (dy, dx) is the contiguous row-slice win[dx, dy : dy + h_tile] — a
+    # ready matmul operand with no strided reshapes.
+    for j in range(k):
+        win[j] = raw[:, pl.ds(j, w), :]
 
     acc[:] = jnp.zeros((h_tile * w, c_out), jnp.float32)
     for dy in range(k):
         for dx in range(k):
-            lhs = win[dx, pl.ds(dy, h_tile)].reshape(h_tile * w, c_in)
+            lhs = win[dx, pl.ds(dy, h_tile)].reshape(h_tile * w, c_pad)
             acc[:] += jnp.dot(
                 lhs,
                 w_ref[dy * k + dx],
@@ -167,14 +170,19 @@ def conv2d_nhwc_pallas(x, w, b=None, *, activation=None, residual=None,
     out_dtype = out_dtype or compute_dtype
     has_res = residual is not None
     esize = jnp.dtype(compute_dtype).itemsize
+    c_pad = _round_up(c_in, 128)
+    w_in_pad = _round_up(width + 2 * p, 8)
 
     if h_tile is None:
         h_tile = _pick_h_tile(h, width, c_in, c_out, k, has_res, esize)
     assert h_tile is not None and h % h_tile == 0, (h, h_tile)
 
     x_pad = jnp.pad(x.astype(compute_dtype),
-                    ((0, 0), (p, p), (p, p), (0, 0)))
-    w_flat = w.astype(compute_dtype).reshape(k * k, c_in, c_out)
+                    ((0, 0), (p, p), (p, w_in_pad - width - p),
+                     (0, c_pad - c_in)))
+    w_flat = jnp.pad(w.astype(compute_dtype),
+                     ((0, 0), (0, 0), (0, c_pad - c_in), (0, 0))
+                     ).reshape(k * k, c_pad, c_out)
     bias = (jnp.zeros((c_out,), jnp.float32) if b is None
             else b.astype(jnp.float32)).reshape(1, c_out)
     neg_slope = {"leaky_relu": 0.01, None: None}[activation]
@@ -195,7 +203,7 @@ def conv2d_nhwc_pallas(x, w, b=None, *, activation=None, residual=None,
         operands.append(residual)
 
     kernel = functools.partial(
-        _conv_kernel, k, h_tile, width, c_in, c_out, neg_slope, has_res,
+        _conv_kernel, k, h_tile, width, c_pad, c_out, neg_slope, has_res,
         out_dtype)
     hw = h_tile + k - 1
     flops = 2 * n * h * width * k * k * c_in * c_out
@@ -210,9 +218,10 @@ def conv2d_nhwc_pallas(x, w, b=None, *, activation=None, residual=None,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, width, c_out), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((k, hw, width, c_in), compute_dtype),
+            pltpu.VMEM((hw, w_in_pad, c_pad), compute_dtype),
+            pltpu.VMEM((k, hw, width, c_pad), compute_dtype),
             pltpu.VMEM((h_tile * width, c_out), jnp.float32),
-            pltpu.SemaphoreType.DMA((k,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

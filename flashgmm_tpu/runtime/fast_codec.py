@@ -85,23 +85,35 @@ def conv_backend_ctx(codec, canonical=False):
     certification programs, removing the cross-program fusion hazard
     (VERDICT r4 item 2).
 
-    Under a mesh the transform stages keep XLA convs (a Pallas custom
-    call does not auto-partition under pjit) — but ``canonical=True``
-    stages (the side/rows chain) still take the kernel in portable-mesh
-    mode, because there they trace for single-device inputs and must
-    dispatch the SAME executables as unsharded codecs (byte
-    portability)."""
+    Only the ``canonical=True`` stages (the side/rows chain) take the
+    kernel by default: there its job is bitwise reproducibility and the
+    convs are thin. The transform stages (g_a/h_a/g_s) keep XLA convs —
+    measured on the v5e (results/synthetic/pallas_conv_bench.json), XLA's
+    batched convs already run at 40-68% MFU and beat the hand kernel ~2x
+    (the r4 "29% MFU" figure measured whole transforms incl. GDN and
+    elementwise traffic, not the convs); opt in to Pallas transforms with
+    FLASHGMM_PALLAS_CONV_TRANSFORMS=1 (single-image parity, batched
+    slower). Under a mesh the canonical stages still take the kernel in
+    portable mode (they trace for single-device inputs and must dispatch
+    the SAME executables as unsharded codecs — byte portability)."""
     import os
 
     from flashgmm_tpu.ops.pallas_conv import use_pallas_conv
 
     meshless = getattr(codec, "data_sharding", None) is None
-    on = (
-        os.environ.get("FLASHGMM_PALLAS_CONV", "1") == "1"
-        and jax.default_backend() == "tpu"
-        and (meshless
-             or (canonical and getattr(codec, "mesh_portable", True)))
-    )
+    if canonical:
+        on = (
+            os.environ.get("FLASHGMM_PALLAS_CONV", "1") == "1"
+            and jax.default_backend() == "tpu"
+            and (meshless or getattr(codec, "mesh_portable", True))
+        )
+    else:
+        on = (
+            os.environ.get("FLASHGMM_PALLAS_CONV_TRANSFORMS", "0") == "1"
+            and os.environ.get("FLASHGMM_PALLAS_CONV", "1") == "1"
+            and jax.default_backend() == "tpu"
+            and meshless
+        )
     return use_pallas_conv(on)
 
 

@@ -46,6 +46,7 @@ from .fast_codec import (
     _decode_pass,
     _encode_pass,
     apply_transform,
+    conv_backend_ctx,
     conv_ctx_wrap,
 )
 
@@ -151,19 +152,32 @@ class FastLatencyGmmCodec:
         return start, (nxt - start).astype(jnp.uint32)
 
     def _rows0(self, ckbd, gmm_lc, side0):
-        lo, num_bins = self._lo_bins()
-        ctx = jnp.zeros_like(side0)
-        s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side0)
-        return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
+        # canonical conv backend: the entropy-parameter convs compile to
+        # the same Mosaic binaries in the encode and decode programs, so
+        # the rows integers agree bitwise across them (VERDICT r4 item 2)
+        with conv_backend_ctx(self, canonical=True):
+            lo, num_bins = self._lo_bins()
+            ctx = jnp.zeros_like(side0)
+            s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side0)
+            return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
 
     def _rows1(self, ckbd, gmm_lc, side1, sym0):
-        lo, num_bins = self._lo_bins()
-        y_hat_ = jnp.stack(
-            [sym0.astype(jnp.float32), jnp.zeros_like(sym0, jnp.float32)]
-        )
-        ctx = ckbd.unembed(ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
-        s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side1)
-        return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
+        with conv_backend_ctx(self, canonical=True):
+            lo, num_bins = self._lo_bins()
+            y_hat_ = jnp.stack(
+                [sym0.astype(jnp.float32),
+                 jnp.zeros_like(sym0, jnp.float32)]
+            )
+            ctx = ckbd.unembed(
+                ckbd.context_prediction(ckbd.embed(y_hat_)))[1]
+            s, m_, w_ = self._gmm_pass_params(ckbd, gmm_lc, ctx, side1)
+            return gmm_guarded_rows(s, m_, w_, lo, num_bins, self.mode)
+
+    def _side(self, ckbd, hyper, z_hat):
+        """h_s under the canonical conv backend (shared by both fused
+        programs; see _rows0)."""
+        with conv_backend_ctx(self, canonical=True):
+            return ckbd.unembed(hyper.h_s(z_hat))
 
     # -- fused programs -------------------------------------------------------
 
@@ -204,7 +218,7 @@ class FastLatencyGmmCodec:
         sym0, sym1 = sym[0], sym[1]
 
         z_hat = (z_bin + z_off).astype(jnp.float32) + med
-        side = ckbd.unembed(hyper.h_s(z_hat))
+        side = self._side(ckbd, hyper, z_hat)
 
         rows0 = self._rows0(ckbd, gmm_lc, side[0])
         s0, f0 = self._lookup(rows0, sym0.reshape(-1) - self._lo_bins()[0])
@@ -236,7 +250,7 @@ class FastLatencyGmmCodec:
 
         med = eb._get_medians()[:, 0, 0]
         z_hat = (z_bin + z_off).astype(jnp.float32) + med
-        side = ckbd.unembed(hyper.h_s(z_hat))
+        side = self._side(ckbd, hyper, z_hat)
 
         lo, _ = self._lo_bins()
         rows0 = self._rows0(ckbd, gmm_lc, side[0])

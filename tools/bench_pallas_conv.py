@@ -37,15 +37,18 @@ PEAK_BF16 = 197e12
 
 
 def measure(fn, *xs, k1=3, k2=args.k2, reps=3):
-    jfn = jax.jit(fn)
+    # chain SCALAR outputs so k dispatches don't hold k full conv outputs
+    # in HBM (a 24x384x256x192 bf16 output alone is ~0.9 GB). The full-sum
+    # consume costs ~1 ms of HBM read at the biggest shapes — identical
+    # for both backends, so the comparison stands.
+    jfn = jax.jit(lambda *a: jnp.sum(fn(*a), dtype=jnp.float32))
 
     def timed(k):
         outs = [jfn(*xs) for _ in range(k)]
         t0 = time.time()
         for _ in range(reps):
             outs = [jfn(*xs) for _ in range(k)]
-            o = outs[-1]
-            float(o.reshape(-1)[0])
+            float(outs[-1])
         return (time.time() - t0) / reps * 1e3
 
     timed(k1)
@@ -68,8 +71,11 @@ CASES = [
 rs = np.random.RandomState(0)
 for name, xshape, co, k in CASES:
     ci = xshape[-1]
-    x = jnp.asarray(rs.randn(*xshape).astype("float32") * 0.5).astype(
-        jnp.bfloat16)
+    # device-side RNG: a 0.9 GB host->device transfer through the axon
+    # tunnel costs ~30-45 s; generate on-chip instead
+    key = jax.random.key(hash(name) % (2 ** 31))
+    x = jax.jit(lambda kk: jax.random.normal(
+        kk, xshape, jnp.bfloat16) * 0.5)(key)
     w = jnp.asarray((rs.randn(k, k, ci, co) * 0.03).astype("float32"))
     bias = jnp.asarray(rs.randn(co).astype("float32"))
 
@@ -83,14 +89,18 @@ for name, xshape, co, k in CASES:
     def pl_fn(v, w=w, bias=bias):
         return conv2d_nhwc_pallas(v, w, bias, out_dtype=jnp.bfloat16)
 
-    # numerics first (bf16 out, so compare loosely; both accum f32)
-    ya = np.asarray(jax.jit(xla_fn)(x), dtype=np.float32)
-    yp = np.asarray(jax.jit(pl_fn)(x), dtype=np.float32)
-    denom = max(1e-6, float(np.max(np.abs(ya))))
-    rel = float(np.max(np.abs(ya - yp))) / denom
-    # determinism on-chip: two dispatches bitwise equal
-    yp2 = np.asarray(jax.jit(pl_fn)(x), dtype=np.float32)
-    det = bool(np.array_equal(yp, yp2))
+    # numerics on-device (scalar fetches only; both backends accum f32)
+    @jax.jit
+    def _cmp(v):
+        a = xla_fn(v).astype(jnp.float32)
+        p1 = pl_fn(v).astype(jnp.float32)
+        p2 = pl_fn(v).astype(jnp.float32)
+        return (jnp.max(jnp.abs(a - p1)), jnp.max(jnp.abs(a)),
+                jnp.all(p1 == p2))
+
+    diff, amax, det_d = _cmp(x)
+    rel = float(diff) / max(1e-6, float(amax))
+    det = bool(det_d)
 
     ms_xla = measure(xla_fn, x)
     ms_pl = measure(pl_fn, x)
