@@ -58,26 +58,25 @@ class FastLatencyGmmCodec:
                  cap_divisor: int = 4, bf16_transforms: bool = True,
                  fallback=None, pallas_decode: bool | None = None):
         self.lanes = int(lanes)
-        # Decode backend: ALWAYS the XLA scan by default. The Pallas Mosaic
-        # kernel is bit-exact inside FastCheckerboardGmmCodec's decode
-        # programs (tools/test_codec_exact_tpu.py, lanes=512) but DESYNCS
-        # inside THIS codec's single fused decode program. ROOT-CAUSED in
-        # round 4 (tools/debug_pallas_fused.py bisection + in-context
-        # scan-vs-kernel agreement on identical rows,
-        # tools/debug_pallas_incontext.py): the kernel itself is exact;
-        # swapping the decode backend perturbs XLA's fusion of the
-        # SURROUNDING float CDF -> rows pipeline, whose integers then
-        # differ at quantization boundaries from the ENCODE program's —
-        # the cross-program hazard this codec's certification exists to
-        # catch (only the y passes can desync; the z pass's integer-table
-        # rows are immune, as the bisection showed). The trigger is any
-        # structural decode-program change, not lanes==512. Scan-decode
-        # stays pinned because the encoder's rows fused against a
-        # scan-shaped program; it is also faster end-to-end here (dec
-        # 12.3 ms at 1024/scan vs 13.5 at 512/pallas). Opt in via
-        # pallas_decode=True to reproduce; certification still guards it.
+        # Decode backend: the same auto policy as the composable codec
+        # (Pallas Mosaic kernel at W <= 512, XLA scan above). Round 4 had
+        # to pin the scan here: swapping the decode backend perturbed
+        # XLA's fusion of the surrounding float CDF -> rows pipeline,
+        # whose integers then differed at quantization boundaries from
+        # the encode program's (root-caused in
+        # tools/debug_pallas_incontext.py — the kernel itself was always
+        # exact). Round 5 removed that hazard at the source: the whole
+        # CDF -> rows conv chain now runs through the canonical Pallas
+        # conv backend (ops/pallas_conv.py), which compiles to the same
+        # Mosaic binaries in both fused programs regardless of the decode
+        # backend — re-certified bit-exact on the v5e with
+        # pallas_decode=True at lanes=512 (tools/test_codec_exact_tpu.py).
+        # Certification still guards every stream.
+        from .fast_codec import _pallas_decode_default
+
         self.pallas_decode = (
-            False if pallas_decode is None else bool(pallas_decode)
+            _pallas_decode_default(self.lanes)
+            if pallas_decode is None else bool(pallas_decode)
         )
         import os
 

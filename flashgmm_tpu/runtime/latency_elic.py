@@ -36,21 +36,21 @@ class FastLatencyElicCodec(FastElicGmmCodec):
 
     def __init__(self, model, lanes: int = 512, max_abs: int = 47,
                  cap_divisor: int = 1, bf16_transforms: bool = True,
-                 fallback=None):
-        # pallas_decode=False: inside the FUSED decode program the Pallas
-        # custom call's forced operand layout propagates (through the
-        # optimization_barrier fences) into the rows-stage conv lowering
-        # and changes its MXU accumulation by 1-2 ulp in groups 3-4,
-        # desyncing the streams. With the scan decoder the fused decoder
-        # is byte-identical to the fused encoder and the composable
-        # executables on all 11 streams (tools/debug_elic_cert3.py,
-        # verified on the v5e). The composable codec is unaffected — its
-        # decode passes are standalone programs, so it keeps the faster
-        # Pallas kernel at W<=512.
+                 fallback=None, pallas_decode: bool | None = None):
+        # Decode backend: auto policy (Pallas kernel at W <= 512, scan
+        # above), same as the composable codec. Round 4 had to pin the
+        # scan: the Pallas custom call's forced operand layout propagated
+        # into the rows-stage conv lowering and changed its MXU
+        # accumulation by 1-2 ulp in groups 3-4 (tools/debug_elic_cert3.py).
+        # Round 5 removed the hazard at the source — the rows-stage convs
+        # are now themselves Mosaic kernels (canonical Pallas conv
+        # backend, ops/pallas_conv.py), immune to surrounding layout
+        # propagation. Certification still guards every stream and falls
+        # back to the composable codec on any mismatch.
         super().__init__(model, lanes=lanes, max_abs=max_abs,
                          cap_divisor=cap_divisor,
                          bf16_transforms=bf16_transforms,
-                         pallas_decode=False)
+                         pallas_decode=pallas_decode)
         self._fallback = fallback  # FastElicGmmCodec or None
         self._fallback_digests = set()
         self._n_z_channels = self._z_channels()
