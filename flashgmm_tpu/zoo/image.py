@@ -60,6 +60,10 @@ cfgs = {
     "mbt2018-vbr": {1: (192, 320)},
     # video (zoo/video.py): one architecture, qualities are checkpoints
     "ssf2020": {q: () for q in range(1, 10)},
+    # pointcloud (reference zoo/pointcloud/image.py analog): default
+    # configs, qualities are checkpoints
+    "hrtzxf2022-pcc-rec": {1: ()},
+    "sfu-pcc-rec-pointnet": {1: ()},
 }
 
 model_architectures = dict(MODELS)
@@ -91,11 +95,38 @@ local_weights = {
         "weights/ssf2020_synthetic.npz",
     ("bmshj2018-factorized", 4):
         "weights/factorized_n128_m192_synthetic.npz",
+    # pointcloud codecs (results/synthetic/pointcloud_*.json)
+    ("hrtzxf2022-pcc-rec", 1):
+        "weights/pcc_hrtzxf2022_synthetic.npz",
+    ("sfu-pcc-rec-pointnet", 1):
+        "weights/pcc_pointnet_synthetic.npz",
+    # round-5 google/sensetime line (results/synthetic/flashgmm_tpu-*.json)
+    ("mbt2018-mean", 3): "weights/mshp_n128_m192_synthetic.npz",
+    ("bmshj2018-hyperprior", 3): "weights/bmshj_hp_n128_m192_synthetic.npz",
 }
 
+# Checkpoints the round-5 training queue is still producing join the table
+# as their files land (tools/register_zoo_slots.py); 3-tuple keys carry
+# the metric (the reference ships parallel *_ms-ssim model lines),
+# resolved before (arch, quality).
+_PENDING_SLOTS = {
+    ("mbt2018-mean", 4): "weights/mshp_n128_m192_q4.npz",
+    ("bmshj2018-hyperprior", 4): "weights/bmshj_hp_n128_m192_q4.npz",
+    ("cheng2020-anchor-checkerboard", 3): "weights/ckbd_gc_n128_synthetic.npz",
+    ("cheng2020-anchor-checkerboard", 2): "weights/ckbd_gc_n128_q2.npz",
+    ("cheng2020-anchor-checkerboard-gmm", 5, "ms-ssim"):
+        "weights/ckbd_gmm_n192_k4_q5_msssim.npz",
+}
+for _k, _rel in _PENDING_SLOTS.items():
+    if (_REPO_ROOT / _rel).exists():
+        local_weights[_k] = _rel
 
-def _local_weights_path(architecture: str, quality: int):
-    rel = local_weights.get((architecture, quality))
+
+def _local_weights_path(architecture: str, quality: int,
+                        metric: str = "mse"):
+    rel = local_weights.get((architecture, quality, metric))
+    if rel is None and metric == "mse":
+        rel = local_weights.get((architecture, quality))
     if rel is None:
         return None
     p = _REPO_ROOT / rel
@@ -159,11 +190,12 @@ def image_models(architecture, quality=1, metric="mse", pretrained=False,
     ``weights_path=`` to load any other local checkpoint.
     """
     if pretrained and weights_path is None:
-        weights_path = _local_weights_path(architecture, quality)
+        weights_path = _local_weights_path(architecture, quality, metric)
         if weights_path is None:
             raise RuntimeError(
-                f"No shipped weights for ({architecture}, quality={quality}) "
-                f"— available: {sorted(k for k in local_weights)}; or pass "
+                f"No shipped weights for ({architecture}, quality={quality}, "
+                f"{metric}) — available: "
+                f"{sorted(str(k) for k in local_weights)}; or pass "
                 "weights_path= with a local checkpoint"
             )
     return create_model(architecture, quality, metric, weights_path, **kwargs)

@@ -80,8 +80,10 @@ class TestRegistryAndZoo:
         # every table entry points at a file that exists in the repo
         from flashgmm_tpu.zoo.image import _local_weights_path
 
-        for (arch, q) in local_weights:
-            assert _local_weights_path(arch, q) is not None, (arch, q)
+        for key in local_weights:
+            arch, q = key[0], key[1]
+            metric = key[2] if len(key) == 3 else "mse"
+            assert _local_weights_path(arch, q, metric) is not None, key
 
     def test_entropy_coder_registry(self):
         import flashgmm_tpu
