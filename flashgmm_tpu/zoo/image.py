@@ -106,9 +106,9 @@ local_weights = {
 }
 
 # Checkpoints the round-5 training queue is still producing join the table
-# as their files land (tools/register_zoo_slots.py); 3-tuple keys carry
-# the metric (the reference ships parallel *_ms-ssim model lines),
-# resolved before (arch, quality).
+# automatically as their weight files land; 3-tuple keys carry the metric
+# (the reference ships parallel *_ms-ssim model lines), resolved before
+# (arch, quality).
 _PENDING_SLOTS = {
     ("mbt2018-mean", 4): "weights/mshp_n128_m192_q4.npz",
     ("bmshj2018-hyperprior", 4): "weights/bmshj_hp_n128_m192_q4.npz",
